@@ -1,0 +1,115 @@
+"""Legacy mean-reverting IR-SDE (the published SDE this work builds on).
+
+Parity with reference utils/sde_utils.py:81-342 (the only SDE whose full
+source survives upstream — kept both for capability parity and as an
+executable cross-check for the drift SDE's algebra).
+
+Math (sde_utils.py:126-214):
+    theta_t:      per-step reversion rate (constant / linear / cosine family)
+    sigma_t^2   = 2 * max_sigma^2 * theta_t
+    thetabar_t  = cumsum(theta)
+    sigmabar_t  = sqrt(max_sigma^2 * (1 - exp(-2 * thetabar_t * dt)))
+    dt          = -log(eps) / thetabar_T
+    mean_t      = mu + (x0 - mu) * exp(-thetabar_t * dt)
+    forward:      x_t ~ N(mean_t, sigmabar_t^2)
+    score        = -noise / sigmabar_t
+    reverse SDE:  x <- x - [theta_t (mu - x) - sigma_t^2 * score] dt
+                        (+ sigma_t sqrt(dt) z for the stochastic variant)
+    optimum step: posterior mean of x_{t-1} | x_t, x0.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class IRSDE:
+    def __init__(self, max_sigma=0.4, T=100, schedule="cosine", eps=0.005):
+        self.T = int(T)
+        self.max_sigma = float(max_sigma)
+        self.schedule_name = schedule
+        t = np.arange(1, T + 1, dtype=np.float64)
+        if schedule == "constant":
+            thetas = np.ones_like(t)
+        elif schedule == "linear":
+            thetas = t / T
+        elif schedule == "cosine":
+            thetas = (1.0 - np.cos(t * np.pi / T)) / 2.0
+        else:
+            raise ValueError(f"unknown IR-SDE schedule '{schedule}'")
+        thetas_cum = np.cumsum(thetas)
+        self.dt = float(-np.log(eps) / thetas_cum[-1])
+        # index 0 is a zero pad so integer t in [1, T] gathers its own level
+        self.thetas = jnp.asarray(np.concatenate([[0.0], thetas]), dtype=jnp.float32)
+        self.thetas_cum = jnp.asarray(np.concatenate([[0.0], thetas_cum]), dtype=jnp.float32)
+        sigma_bars = np.sqrt(self.max_sigma**2 * (1.0 - np.exp(-2.0 * thetas_cum * self.dt)))
+        self.sigma_bars = jnp.asarray(np.concatenate([[0.0], sigma_bars]), dtype=jnp.float32)
+        self.sigmas = jnp.sqrt(2.0 * self.max_sigma**2 * self.thetas)
+
+    def mu_bar(self, x0, mu, t):
+        decay = jnp.exp(-self.thetas_cum[t] * self.dt)
+        decay = decay.reshape((-1,) + (1,) * (x0.ndim - 1)).astype(x0.dtype)
+        return mu + (x0 - mu) * decay
+
+    def forward_diffusion(self, key, x0, mu):
+        """Sample (t, x_t, std_noise) from the closed-form forward marginal
+        (the analogue of generate_random_states, sde_utils.py:322-338)."""
+        B = x0.shape[0]
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (B,), 1, self.T + 1)
+        eps = jax.random.normal(kn, x0.shape, dtype=x0.dtype)
+        bshape = (B,) + (1,) * (x0.ndim - 1)
+        mean = self.mu_bar(x0, mu, t)
+        sbar = self.sigma_bars[t].reshape(bshape).astype(x0.dtype)
+        x_t = mean + sbar * eps
+        return t.reshape(bshape), x_t, eps
+
+    def score_from_noise(self, noise_hat, t):
+        sbar = self.sigma_bars[t].reshape((-1,) + (1,) * (noise_hat.ndim - 1))
+        return -noise_hat / jnp.maximum(sbar, 1e-12).astype(noise_hat.dtype)
+
+    def reverse_sde(self, key, mu, noise_fn: Callable, stochastic=True):
+        """T-step reverse SDE loop as one ``lax.scan``
+        (legacy analogue: sde_utils.py:244-261). ``noise_fn(x, t[B]) ->
+        predicted std noise``."""
+        B = mu.shape[0]
+        x_T = mu + self.max_sigma * jax.random.normal(key, mu.shape, dtype=mu.dtype)
+        k_loop = jax.random.fold_in(key, 1)
+        step_keys = jax.random.split(k_loop, self.T)
+
+        def body(x, inp):
+            t_scalar, k = inp
+            t_b = jnp.full((B,), t_scalar, dtype=jnp.int32)
+            noise_hat = noise_fn(x, t_b)
+            score = self.score_from_noise(noise_hat, t_b)
+            theta = self.thetas[t_scalar].astype(x.dtype)
+            sigma2 = (2.0 * self.max_sigma**2 * self.thetas[t_scalar]).astype(x.dtype)
+            drift = theta * (mu - x) * self.dt
+            rev_drift = drift - sigma2 * score * self.dt
+            x_next = x - rev_drift
+            if stochastic:
+                z = jax.random.normal(k, x.shape, dtype=x.dtype)
+                x_next = x_next + jnp.sqrt(sigma2 * self.dt) * z * jnp.where(t_scalar > 1, 1.0, 0.0)
+            return x_next, None
+
+        ts = jnp.arange(self.T, 0, -1, dtype=jnp.int32)
+        x0, _ = jax.lax.scan(body, x_T, (ts, step_keys))
+        return x0
+
+    def reverse_optimum_step(self, x_t, x0, t):
+        """Posterior-mean step (sde_utils.py:206-214): optimal x_{t-1} given
+        x_t and the true x0."""
+        bshape = (-1,) + (1,) * (x_t.ndim - 1)
+        A = jnp.exp(-self.thetas[t] * self.dt).reshape(bshape).astype(x_t.dtype)
+        B_ = jnp.exp(-self.thetas_cum[t] * self.dt).reshape(bshape).astype(x_t.dtype)
+        C = jnp.exp(-self.thetas_cum[t - 1] * self.dt).reshape(bshape).astype(x_t.dtype)
+        sbar_t = self.sigma_bars[t].reshape(bshape).astype(x_t.dtype)
+        sbar_p = self.sigma_bars[t - 1].reshape(bshape).astype(x_t.dtype)
+        term1 = A * (sbar_p**2) / jnp.maximum(sbar_t**2, 1e-12) * x_t
+        term2 = C * (1.0 - A**2 * (sbar_p**2) / jnp.maximum(sbar_t**2, 1e-12)) * x0
+        # both terms are defined relative to mu; caller passes x - mu residuals
+        return term1 + term2
