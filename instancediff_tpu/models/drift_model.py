@@ -1,0 +1,523 @@
+"""CLIPDriftModel engine: joint training of the drift & noise UNets.
+
+Functional TPU equivalent of reference models/drift_noise_model.py:27-810:
+  * frozen text tower (CLIP or BiomedCLIP), learnable per-scale SMM contexts,
+  * dual conditional UNets trained under the 'inputRes' contract
+    (optimize_parameters_inputRes, :242-312):
+        drift_net(x_t - mu, mu,  t) -> mu - x0,
+        noise_net(x_t - mu, x_t, t) -> std noise,
+    with multi-scale score-map losses (optimize_score_map, :234-240,
+    pyramid mult=[1,2,4,8], summed / 2),
+  * two Adam optimizers with *coupled* L2 weight decay (torch Adam parity)
+    and per-epoch cosine-annealed lr (CosineAnnealingLR(T_max=nepoch),
+    :158-170),
+  * four EMA shadows with ema_pytorch semantics (beta 0.995, update_every 10,
+    update_after_step 100; :122,139,151-152),
+  * loss-message accounting (reinit_loss_message/get_loss_message, :197-229),
+  * reference-layout checkpoint bundles (utils/checkpoint.py).
+
+Everything trains in ONE jitted step: forward diffusion (device RNG),
+both UNet forwards + frozen-tower text encodings, loss, backward, two
+optimizer updates, EMA — the DDP allreduce of the reference becomes a mean
+over the mesh 'dp' axis when the step is pjit-sharded (parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.resize import downsample_label
+from ..sde.drift_sde import DriftSDE
+from .text_encoder import build_text_encoder
+from .tokenizer import BertWordPieceTokenizer, ClipBPETokenizer
+from .unet import LearnableForwardUNetMultiScoreMap
+
+ARTIFACT_PROMPTS = (
+    "speckle in OCT",
+    "speckle in ultra sound",
+    "noise in cryo-EM image",
+    "noise in low dose CT",
+    "Gaussian noise in MRI",
+)
+
+
+def make_adam(lr, beta1, beta2, weight_decay):
+    """torch.optim.Adam(weight_decay=wd) parity: coupled L2 — wd*p added to the
+    gradient *before* the Adam moments (drift_noise_model.py:158-163)."""
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=beta1, b2=beta2),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    )(learning_rate=lr)
+
+
+def cosine_annealing_lr(epoch, nepoch, lr0, eta_min):
+    """torch CosineAnnealingLR stepped per epoch (drift_noise_model.py:165-170)."""
+    return eta_min + (lr0 - eta_min) * (1 + np.cos(np.pi * epoch / nepoch)) / 2.0
+
+
+def _ema_update(ema, params, step, beta=0.995, update_every=10, update_after=100):
+    """ema_pytorch.EMA semantics: copy until ``update_after`` steps, then decay
+    every ``update_every`` steps."""
+    do_tick = (step % update_every) == 0
+    copy_phase = step < update_after
+
+    def mix(e, p):
+        decayed = beta * e + (1.0 - beta) * p
+        new = jnp.where(copy_phase, p, decayed)
+        return jnp.where(do_tick, new, e)
+
+    return jax.tree.map(mix, ema, params)
+
+
+class CLIPDriftEngine:
+    """Holds modules + frozen assets; owns jitted train/sample functions.
+
+    Construction mirrors create_CLIPDriftModel (drift_noise_model.py:758-810):
+    pass the ``models.DriftNoise`` option block (+ nepoch, artifact prompts).
+    """
+
+    def __init__(
+        self,
+        dnet_settings: Dict,
+        nnet_settings: Dict,
+        drift_net_lr=2e-5,
+        noise_net_lr=2e-5,
+        weight_decay_drift=1e-4,
+        beta1=0.9,
+        beta2=0.99,
+        nepoch=500,
+        eta_min=1e-6,
+        optimize_type="inputRes",
+        optimize_target="std",
+        drift_loss="l2",
+        noise_loss="none",
+        if_MultiScoreMap=True,
+        score_map_ch_mult=(1, 1, 2, 4),
+        score_map_ngf=64,
+        use_image_context=True,
+        use_degra_context=False,
+        CLIP_Type="CLIP",
+        artifact_prompts=ARTIFACT_PROMPTS,
+        image_size=224,
+        sde: Optional[DriftSDE] = None,
+        seed=0,
+        dtype=jnp.float32,
+        if_train=True,
+        tokenizer_vocab_path=None,
+        text_encoder_pretrain_path=None,  # schema parity; weights unreleased upstream
+        tiny_text_encoder=False,
+    ):
+        self.optimize_type = optimize_type
+        self.optimize_target = optimize_target
+        self.use_image_context = use_image_context
+        self.use_degra_context = use_degra_context
+        self.nepoch = nepoch
+        self.drift_net_lr, self.noise_net_lr = drift_net_lr, noise_net_lr
+        self.eta_min = eta_min
+        self.sde = sde
+        self.image_size = image_size
+        self.clip_type = CLIP_Type
+        self.dnet_settings = dict(dnet_settings)
+        self.nnet_settings = dict(nnet_settings)
+        self.use_dsm = self.dnet_settings.get("use_dsm", True)
+        self.use_nsm = self.nnet_settings.get("use_nsm", True)
+        self.dtype = dtype
+
+        # ---- frozen text tower + prompt tokenisation (host, once) ----
+        self.context_dim = dict(dnet_settings).get("context_dim", 512)
+        self.text_encoder, token_embed_dim, tok_kind = build_text_encoder(
+            CLIP_Type, embed_dim=self.context_dim, dtype=dtype, tiny=tiny_text_encoder)
+        self.token_embed_dim = token_embed_dim
+        if tok_kind == "bert":
+            tok = BertWordPieceTokenizer(
+                tokenizer_vocab_path, context_length=self.text_encoder.context_length)
+            ids, mask = tok(list(artifact_prompts))
+            self.prompt_ids = jnp.asarray(ids)
+            self.prompt_mask = jnp.asarray(mask)
+        else:
+            tok = ClipBPETokenizer(
+                tokenizer_vocab_path, context_length=self.text_encoder.context_length,
+                vocab_size=self.text_encoder.vocab_size)
+            self.prompt_ids = jnp.asarray(tok(list(artifact_prompts)))
+            self.prompt_mask = None
+
+        key = jax.random.key(seed)
+        k_text, k_d, k_n = jax.random.split(key, 3)
+        n_ctx_probe = jnp.zeros((8, token_embed_dim))
+        if tok_kind == "bert":
+            self.text_params = self.text_encoder.init(
+                k_text, self.prompt_ids, self.prompt_mask, n_ctx_probe
+            )
+        else:
+            self.text_params = self.text_encoder.init(k_text, self.prompt_ids, n_ctx_probe)
+
+        # ---- dual UNets (prompt modules owned inside, split at checkpoint) ----
+        def build_unet(settings):
+            return LearnableForwardUNetMultiScoreMap(
+                in_nc=settings.get("in_nc", 2),
+                out_nc=settings.get("out_nc", 5),
+                nf=settings.get("nf", 64),
+                ch_mult=tuple(settings.get("ch_mult", (1, 2, 4, 4))),
+                context_dim=settings.get("context_dim", 512),
+                text_module=settings.get("text_module", "scoremap"),
+                score_map_chan=settings.get("score_map_chan", 16),
+                if_MultiScoreMap=settings.get("if_MultiScoreMap", if_MultiScoreMap),
+                score_map_ch_mult=tuple(score_map_ch_mult),
+                score_map_ngf=score_map_ngf,
+                use_image_context=use_image_context,
+                use_degra_context=use_degra_context,
+                token_embed_dim=token_embed_dim,
+                num_res_blocks=settings.get("num_res_blocks", 2),
+                dtype=dtype,
+            )
+
+        self.drift_net = build_unet(self.dnet_settings)
+        self.noise_net = build_unet(self.nnet_settings)
+        self.n_scales = len(self.dnet_settings.get("ch_mult", (1, 2, 4, 4)))
+
+        H = image_size
+        B = 1
+        probe = dict(
+            x_a=jnp.zeros((B, H, H, 1)),
+            x_b=jnp.zeros((B, H, H, 1)),
+            t=jnp.zeros((B,), jnp.int32),
+            ty=jnp.zeros((B,), jnp.int32),
+            img=jnp.zeros((B, 1, self.context_dim)) if use_image_context else None,
+        )
+        text_fn = self._make_text_fn(self.text_params)
+        self.drift_params = self.drift_net.init(
+            k_d, probe["x_a"], probe["x_b"], probe["t"], probe["ty"],
+            text_fn=text_fn, image_context=probe["img"],
+        )
+        self.noise_params = self.noise_net.init(
+            k_n, probe["x_a"], probe["x_b"], probe["t"], probe["ty"],
+            text_fn=text_fn, image_context=probe["img"],
+        )
+
+        # ---- optimizers / EMA / loss accounting ----
+        self.if_train = if_train
+        if if_train:
+            self.drift_opt = make_adam(drift_net_lr, beta1, beta2, weight_decay_drift)
+            self.noise_opt = make_adam(noise_net_lr, beta1, beta2, weight_decay_drift)
+            self.state = {
+                "drift": self.drift_params,
+                "noise": self.noise_params,
+                "d_opt": self.drift_opt.init(self.drift_params),
+                "n_opt": self.noise_opt.init(self.noise_params),
+                "d_ema": jax.tree.map(jnp.copy, self.drift_params),
+                "n_ema": jax.tree.map(jnp.copy, self.noise_params),
+                "step": jnp.zeros((), jnp.int32),
+            }
+        else:
+            self.state = {
+                "drift": self.drift_params,
+                "noise": self.noise_params,
+                "d_ema": jax.tree.map(jnp.copy, self.drift_params),
+                "n_ema": jax.tree.map(jnp.copy, self.noise_params),
+                "step": jnp.zeros((), jnp.int32),
+            }
+        self.reinit_loss_message()
+        self._train_step = None
+        self._sample_fn = None
+
+    # ------------------------------------------------------------------ #
+    # text closure                                                        #
+    # ------------------------------------------------------------------ #
+
+    def _make_text_fn(self, text_params):
+        if self.clip_type == "BiomedCLIP":
+            def text_fn(ctx):
+                return self.text_encoder.apply(
+                    text_params, self.prompt_ids, self.prompt_mask, ctx
+                )
+        else:
+            def text_fn(ctx):
+                return self.text_encoder.apply(text_params, self.prompt_ids, ctx)
+        return text_fn
+
+    def set_sde(self, sde: DriftSDE):
+        self.sde = sde
+        self._train_step = None
+        self._sample_fn = None
+
+    # ------------------------------------------------------------------ #
+    # training                                                            #
+    # ------------------------------------------------------------------ #
+
+    def _loss_terms(self, dparams, nparams, text_params, batch, t, x_t, std_noise):
+        mu, x0 = batch["input"], batch["target"]
+        ty = batch["type_idx"]
+        img_ctx = batch.get("A_emb") if self.use_image_context else None
+        text_fn = self._make_text_fn(text_params)
+        tb = t.reshape(-1)
+
+        pred_drift, d_sms = self.drift_net.apply(
+            dparams, x_t - mu, mu, tb, ty, text_fn=text_fn, image_context=img_ctx
+        )
+        pred_noise, n_sms = self.noise_net.apply(
+            nparams, x_t - mu, x_t, tb, ty, text_fn=text_fn, image_context=img_ctx
+        )
+        dloss = jnp.mean((pred_drift - (mu - x0)) ** 2)
+        nloss = jnp.mean((pred_noise - std_noise) ** 2)
+
+        def sm_loss(sms, label):
+            # optimize_score_map (drift_noise_model.py:234-240): pyramid L2 / 2
+            terms = [
+                jnp.mean((sm - downsample_label(label, 2**i)) ** 2)
+                for i, sm in enumerate(sms)
+            ]
+            return sum(terms) / 2.0
+
+        dsml = sm_loss(d_sms, mu - x0) if (d_sms and self.use_dsm) else jnp.zeros(())
+        nsml = sm_loss(n_sms, std_noise) if (n_sms and self.use_nsm) else jnp.zeros(())
+        loss = dloss + nloss + dsml + nsml
+        return loss, {"l": loss, "dl": dloss, "nl": nloss, "dsml": dsml, "nsml": nsml}
+
+    def build_train_step(self, axis_name: Optional[str] = None):
+        """Return the pure jittable train step:
+        ``step(state, batch, key, text_params, lr_d, lr_n) -> (state, metrics)``.
+        When ``axis_name`` is given, gradients/metrics are psum-averaged over
+        that mesh axis (the DDP-allreduce replacement, SURVEY.md SS2.12)."""
+        sde = self.sde
+
+        def train_step(state, batch, key, text_params, lr_d, lr_n):
+            t, x_t, _, std_noise, _ = sde.forward_diffusion(
+                key, batch["target"], batch["input"]
+            )
+
+            def loss_fn(dparams, nparams):
+                return self._loss_terms(
+                    dparams, nparams, text_params, batch, t, x_t, std_noise
+                )
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state["drift"], state["noise"]
+            )
+            d_grads, n_grads = grads
+            if axis_name is not None:
+                d_grads = jax.lax.pmean(d_grads, axis_name)
+                n_grads = jax.lax.pmean(n_grads, axis_name)
+                metrics = jax.lax.pmean(metrics, axis_name)
+
+            d_opt_state = state["d_opt"]
+            n_opt_state = state["n_opt"]
+            d_opt_state.hyperparams["learning_rate"] = lr_d
+            n_opt_state.hyperparams["learning_rate"] = lr_n
+            d_updates, d_opt_state = self.drift_opt.update(
+                d_grads, d_opt_state, state["drift"]
+            )
+            n_updates, n_opt_state = self.noise_opt.update(
+                n_grads, n_opt_state, state["noise"]
+            )
+            new_drift = optax.apply_updates(state["drift"], d_updates)
+            new_noise = optax.apply_updates(state["noise"], n_updates)
+            step = state["step"] + 1
+            new_state = {
+                "drift": new_drift,
+                "noise": new_noise,
+                "d_opt": d_opt_state,
+                "n_opt": n_opt_state,
+                "d_ema": _ema_update(state["d_ema"], new_drift, step),
+                "n_ema": _ema_update(state["n_ema"], new_noise, step),
+                "step": step,
+            }
+            return new_state, metrics
+
+        return train_step
+
+    def optimize_parameters(self, batch, key, epoch=0):
+        """Host-facing single-device step (jitted on first call). Batch dict:
+        input/target [B,H,W,1] float32 in [-1,1], type_idx [B] int32, optional
+        A_emb [B,1,context_dim]."""
+        if self._train_step is None:
+            self._train_step = jax.jit(self.build_train_step(), donate_argnums=(0,))
+        lr_d = cosine_annealing_lr(epoch, self.nepoch, self.drift_net_lr, self.eta_min)
+        lr_n = cosine_annealing_lr(epoch, self.nepoch, self.noise_net_lr, self.eta_min)
+        self.state, metrics = self._train_step(
+            self.state, batch, key, self.text_params,
+            jnp.asarray(lr_d, jnp.float32), jnp.asarray(lr_n, jnp.float32),
+        )
+        self._record_losses({k: float(v) for k, v in metrics.items()})
+        return float(metrics["l"])
+
+    # ------------------------------------------------------------------ #
+    # sampling                                                            #
+    # ------------------------------------------------------------------ #
+
+    def _smm_contexts(self, params):
+        inner = params["params"]
+        return [inner[f"smm_{i}"]["context"] for i in range(self.n_scales)
+                if f"smm_{i}" in inner]
+
+    def build_sample_fn(self, eta=None, noise_init=True):
+        """Pure jittable sampler: ``sample(dparams, nparams, text_params, mu,
+        type_idx, A_emb, key) -> x0_hat``. Text-tower encodings for both nets'
+        per-scale contexts are hoisted OUT of the 100-step scan — the
+        reference re-encodes prompts inside every net call, 2x100 times
+        (drift_noise_model.py:650); here they run once per sample call."""
+        sde = self.sde
+
+        def sample(dparams, nparams, text_params, mu, type_idx, A_emb, key):
+            text_fn = self._make_text_fn(text_params)
+            d_text = [text_fn(c) for c in self._smm_contexts(dparams)]
+            n_text = [text_fn(c) for c in self._smm_contexts(nparams)]
+            img_ctx = A_emb if self.use_image_context else None
+
+            def predict(x, t_b):
+                pd, _ = self.drift_net.apply(
+                    dparams, x - mu, mu, t_b, type_idx,
+                    text_embs=d_text, image_context=img_ctx,
+                )
+                pn, _ = self.noise_net.apply(
+                    nparams, x - mu, x, t_b, type_idx,
+                    text_embs=n_text, image_context=img_ctx,
+                )
+                return pd, pn
+
+            return sde.reverse_ddpm(key, mu, predict, eta=eta, noise_init=noise_init)
+
+        return sample
+
+    def test(self, batch, key=None, use_ema=True):
+        """Restore a batch (reference model.test -> sde.reverse_ddpm,
+        drift_noise_model.py:648-652). Returns [B,H,W,1] in [-1,1]."""
+        if self._sample_fn is None:
+            self._sample_fn = jax.jit(self.build_sample_fn())
+        key = jax.random.key(0) if key is None else key
+        dparams = self.state["d_ema"] if use_ema else self.state["drift"]
+        nparams = self.state["n_ema"] if use_ema else self.state["noise"]
+        A_emb = batch.get("A_emb")
+        if A_emb is None:
+            A_emb = jnp.zeros((batch["input"].shape[0], 1, self.context_dim))
+        out = self._sample_fn(
+            dparams, nparams, self.text_params,
+            batch["input"], batch["type_idx"], A_emb, key,
+        )
+        self.output = out
+        return out
+
+    def get_visuals(self):
+        return np.asarray(self.output)
+
+    # ------------------------------------------------------------------ #
+    # loss accounting (reference :197-229)                                #
+    # ------------------------------------------------------------------ #
+
+    def reinit_loss_message(self):
+        keys = ("l", "dl", "nl", "dsml", "nsml")
+        self.loss_info = {"latest": {k: 0.0 for k in keys},
+                          "avg": {k: 0.0 for k in keys}, "num": 0}
+
+    def _record_losses(self, metrics):
+        for k, v in metrics.items():
+            self.loss_info["latest"][k] = v
+            self.loss_info["avg"][k] += v
+        self.loss_info["num"] += 1
+
+    def get_loss_message(self):
+        num = max(self.loss_info["num"], 1)
+        return "".join(
+            "({}={:4f}/{:4f})".format(k, self.loss_info["latest"][k],
+                                      self.loss_info["avg"][k] / num)
+            for k in self.loss_info["latest"]
+        )
+
+    def get_current_learning_rate(self, epoch=0):
+        return cosine_annealing_lr(epoch, self.nepoch, self.noise_net_lr, self.eta_min)
+
+    # ------------------------------------------------------------------ #
+    # checkpointing (reference :670-755)                                  #
+    # ------------------------------------------------------------------ #
+
+    def save(self, models_dir, iteration):
+        from ..utils import checkpoint as ckpt
+
+        ckpt.save_bundle(
+            models_dir, iteration,
+            self.state["drift"], self.state["noise"],
+            drift_ema=self.state["d_ema"], noise_ema=self.state["n_ema"],
+        )
+
+    def save_training_state(self, state_dir, epoch, iteration):
+        from ..utils import checkpoint as ckpt
+
+        ckpt.save_training_state(
+            state_dir, iteration, epoch,
+            {"d_opt": self.state["d_opt"], "n_opt": self.state["n_opt"],
+             "step": self.state["step"]},
+        )
+
+    def load(self, models_dir, iteration, use_ema=False):
+        from ..utils import checkpoint as ckpt
+
+        drift, noise = ckpt.load_bundle(
+            models_dir, iteration, self.state["drift"], self.state["noise"],
+            use_ema=False,
+        )
+        self.state["drift"], self.state["noise"] = drift, noise
+        try:
+            d_ema, n_ema = ckpt.load_bundle(
+                models_dir, iteration, self.state["d_ema"], self.state["n_ema"],
+                use_ema=True,
+            )
+            self.state["d_ema"], self.state["n_ema"] = d_ema, n_ema
+        except FileNotFoundError:
+            self.state["d_ema"] = jax.tree.map(jnp.copy, drift)
+            self.state["n_ema"] = jax.tree.map(jnp.copy, noise)
+        self._sample_fn = None
+
+    def resume_training(self, state_path):
+        from ..utils import checkpoint as ckpt
+
+        tree = ckpt.load_training_state(
+            state_path,
+            {"d_opt": self.state["d_opt"], "n_opt": self.state["n_opt"],
+             "step": self.state["step"]},
+        )
+        self.state["d_opt"] = tree["opt"]["d_opt"]
+        self.state["n_opt"] = tree["opt"]["n_opt"]
+        self.state["step"] = tree["opt"]["step"]
+        return tree["epoch"], tree["iter"]
+
+    def get_nets(self, use_ema=False):
+        if use_ema:
+            return {"drift_net": self.state["d_ema"], "noise_net": self.state["n_ema"]}
+        return {"drift_net": self.state["drift"], "noise_net": self.state["noise"]}
+
+
+def create_CLIPDriftModel(train_opt, model_opt, phase="train", **kwargs):
+    """Factory with the reference's signature shape (drift_noise_model.py:758-810):
+    reads the ``models.DriftNoise`` option block."""
+    return CLIPDriftEngine(
+        dnet_settings=dict(model_opt["dnet_settings"]),
+        nnet_settings=dict(model_opt["nnet_settings"]),
+        drift_net_lr=model_opt.get("drift_net_lr", 2e-5),
+        noise_net_lr=model_opt.get("noise_net_lr", 2e-5),
+        weight_decay_drift=model_opt.get("weight_decay_drift", 1e-4),
+        beta1=model_opt.get("beta1", 0.9),
+        beta2=model_opt.get("beta2", 0.99),
+        nepoch=(train_opt or {}).get("nepoch", 500),
+        eta_min=model_opt.get("eta_min", 1e-6),
+        optimize_type=model_opt.get("optimize_type", "inputRes"),
+        optimize_target=model_opt.get("optimize_target", "std"),
+        drift_loss=model_opt.get("drift_loss", "l2"),
+        noise_loss=model_opt.get("noise_loss", "none"),
+        if_MultiScoreMap=model_opt.get("if_MultiScoreMap", True),
+        score_map_ch_mult=tuple(model_opt.get("score_map_ch_mult", (1, 1, 2, 4))),
+        score_map_ngf=model_opt.get("score_map_ngf", 64),
+        use_image_context=model_opt.get("use_image_context", True),
+        use_degra_context=model_opt.get("use_degra_context", False),
+        CLIP_Type=model_opt.get("CLIP_Type", "CLIP"),
+        text_encoder_pretrain_path=model_opt.get("text_encoder_pretrain_path"),
+        if_train=(phase == "train"),
+        **kwargs,
+    )

@@ -1,0 +1,109 @@
+"""Score Map Module (SMM): text-conditioned per-scale score maps.
+
+Reconstruction of the reference's missing ``ScoreMapModule`` (constructed at
+drift_noise_model.py:104-139 with ``visual_dim = score_map_ngf *
+score_map_ch_mult[i]`` and ``token_embed_dim`` set by the CLIP type; invoked
+inside the UNet per SURVEY.md SS2.9b). Its building blocks survive upstream as
+the ``ContextDecoder*`` family (_modified_BiomedCLIP.py:1194-1399) and
+``TransformerDecoderLayer_scaled`` (:580-589, learned per-branch gamma scales
+initialised to 0.1), which this module follows:
+
+  1. learnable context tokens (the only trained text-side parameters;
+     the frozen text tower is invoked *with* them by the owning model),
+  2. a scaled cross-attention decoder: text-prompt queries attend to the
+     scale's visual tokens (memory), refining the K=5 per-artifact-type
+     embeddings with spatial evidence,
+  3. a bilinear score head: per-class score maps from (visual embedding x
+     refined text embedding) similarity, unbounded so they can regress the
+     drift-residual / std-noise supervision targets
+     (drift_noise_model.py:234-240, 277-281).
+
+Layout is NHWC; all attention runs through ops.attention (XLA MXU path).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_attention
+
+
+class ScaledDecoderLayer(nn.Module):
+    """Cross-attention decoder layer with learned branch scales gamma init 0.1
+    (TransformerDecoderLayer_scaled, _modified_BiomedCLIP.py:580-589)."""
+
+    dim: int
+    heads: int = 4
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, memory):
+        g1 = self.param("gamma1", nn.initializers.constant(0.1), (self.dim,))
+        g2 = self.param("gamma2", nn.initializers.constant(0.1), (self.dim,))
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_q")(q)
+        m = nn.LayerNorm(dtype=jnp.float32, name="ln_m")(memory)
+        qq = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(h)
+        kk = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(m)
+        vv = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(m)
+        attn = multi_head_attention(qq, kk, vv, self.heads)
+        attn = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(attn)
+        q = q + g1.astype(q.dtype) * attn
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_mlp")(q)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc")(h)
+        h = jax.nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="proj")(h)
+        return q + g2.astype(q.dtype) * h
+
+
+class ScoreMapModule(nn.Module):
+    """Per-scale SMM. ``__call__(vis [B,h,w,C], text_emb [K,E]) ->
+    score_maps [B,h,w,K]`` — per-artifact-type maps; the owning UNet gathers
+    the supervised channel by ``type_idx`` and fuses all K into decoder
+    features."""
+
+    visual_dim: int
+    token_embed_dim: int = 512  # context-token space (512 CLIP / 768 BiomedCLIP)
+    embed_dim: int = 512  # text-embedding space after tower projection
+    n_ctx: int = 8
+    decoder_layers: int = 3
+    heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        # learnable context tokens, spliced into the frozen tower by the model
+        self.context = self.param(
+            "context", nn.initializers.normal(0.02), (self.n_ctx, self.token_embed_dim)
+        )
+        self.vis_in = nn.Dense(self.visual_dim, dtype=self.dtype, name="vis_in")
+        self.vis_emb = nn.Dense(self.embed_dim, dtype=self.dtype, name="vis_emb")
+        self.mem_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="mem_proj")
+        self.decoder = [
+            ScaledDecoderLayer(self.embed_dim, self.heads, dtype=self.dtype, name=f"dec_{i}")
+            for i in range(self.decoder_layers)
+        ]
+        self.vis_ln = nn.LayerNorm(dtype=jnp.float32, name="vis_ln")
+        self.scale = self.param(
+            "logit_scale", nn.initializers.constant(self.embed_dim**-0.5), ()
+        )
+        self.bias = self.param("score_bias", nn.initializers.zeros, ())
+
+    def get_context(self):
+        return self.context
+
+    def __call__(self, vis, text_emb):
+        B, h, w, _ = vis.shape
+        K = text_emb.shape[0]
+        tokens = self.vis_in(vis.reshape(B, h * w, -1))  # project skip to visual_dim
+        memory = self.mem_proj(tokens)  # [B, hw, E]
+        q = jnp.broadcast_to(text_emb[None], (B, K, self.embed_dim)).astype(vis.dtype)
+        for layer in self.decoder:
+            q = layer(q, memory)
+        vis_e = self.vis_ln(self.vis_emb(tokens))  # [B, hw, E]
+        score = (
+            jnp.einsum("bpe,bke->bpk", vis_e, q) * self.scale.astype(vis.dtype)
+            + self.bias.astype(vis.dtype)
+        )
+        return score.reshape(B, h, w, K)

@@ -1,0 +1,195 @@
+"""Frozen text towers with learnable-context splicing.
+
+TPU-native equivalents of the reference conditioning encoders
+(_modified_BiomedCLIP.py):
+  * ``CLIPTextContextEncoder`` (:798-883): CLIP text transformer (width 512,
+    12 layers, 8 heads, context_length 42) that splices learnable context
+    tokens after <SOT>, runs causally masked self-attention, and projects the
+    <EOT> token state to the 512-d embedding.
+  * ``HFContextTextEncoder`` (:885-1015): PubMedBERT-base tower (hidden 768,
+    12 layers) splicing context after [CLS] (token_embedding, :951-958), with
+    an attention mask over [CLS]+context+text (:960-991), CLS pooling and an
+    MLP projection 768->512 (:934-940).
+
+Both towers are *frozen*: their parameters are initialised once (optionally
+from converted open_clip/HF checkpoints via ``load_*_weights``) and held
+outside the optimizer. Only the per-ScoreMapModule context tokens receive
+gradients, flowing through these towers.
+
+Design delta vs the reference: the towers are pure flax modules taking
+pre-tokenised int32 ids, so the 5 fixed prompts are tokenised once on the
+host and the tower runs inside (training) or *outside* (sampling — hoisted
+from the scan) the jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_attention
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN transformer block (ResidualAttentionBlock analogue,
+    _modified_BiomedCLIP.py:371-433)."""
+
+    width: int
+    heads: int
+    mlp_ratio: float = 4.0
+    act: str = "quick_gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        act = quick_gelu if self.act == "quick_gelu" else jax.nn.gelu
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x)
+        q = nn.Dense(self.width, dtype=self.dtype, name="q_proj")(h)
+        k = nn.Dense(self.width, dtype=self.dtype, name="k_proj")(h)
+        v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(h)
+        attn = multi_head_attention(q, k, v, self.heads, mask=mask)
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x)
+        h = nn.Dense(int(self.width * self.mlp_ratio), dtype=self.dtype, name="fc")(h)
+        h = act(h)
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="proj")(h)
+        return x
+
+
+class CLIPTextContextEncoder(nn.Module):
+    """CLIP text tower with context splicing (reference :798-883).
+
+    ``__call__(ids [K, L], context [n_ctx, width] | None) -> [K, embed_dim]``
+    The spliced sequence is [SOT, context..., tokens...] truncated back to L;
+    the EOT pooling index shifts by n_ctx accordingly (:881)."""
+
+    context_length: int = 42
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    embed_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids, context: Optional[jnp.ndarray] = None):
+        K, L = ids.shape
+        tok = nn.Embed(self.vocab_size, self.width, dtype=self.dtype, name="token_embedding")(ids)
+        if context is not None:
+            n_ctx = context.shape[0]
+            ctx = jnp.broadcast_to(context[None], (K, n_ctx, self.width)).astype(tok.dtype)
+            x = jnp.concatenate([tok[:, :1], ctx, tok[:, 1 : L - n_ctx]], axis=1)
+            eos_pos = jnp.minimum(jnp.argmax(ids, axis=-1) + n_ctx, L - 1)
+        else:
+            x = tok
+            eos_pos = jnp.argmax(ids, axis=-1)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (self.context_length, self.width),
+        )
+        x = x + pos[None, : x.shape[1]].astype(x.dtype)
+
+        # causal mask (reference :849-855)
+        causal = jnp.where(
+            jnp.tril(jnp.ones((L, L), dtype=bool)), 0.0, -jnp.inf
+        )[None]
+        for i in range(self.layers):
+            x = TransformerBlock(
+                self.width, self.heads, act="quick_gelu", dtype=self.dtype, name=f"block_{i}"
+            )(x, mask=causal)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        pooled = x[jnp.arange(K), eos_pos]  # EOT-position pooling (:881)
+        out = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype, name="text_projection")(
+            pooled
+        )
+        return out
+
+
+class HFContextTextEncoder(nn.Module):
+    """PubMedBERT text tower with context splicing (reference :885-1015).
+
+    ``__call__(ids [K, L], attn_mask [K, L], context [n_ctx, hidden] | None)
+    -> [K, proj_dim]``. Context embeddings are inserted after [CLS]
+    (:951-958); the attention mask covers [CLS] + context + text (:960-991);
+    pooling takes the [CLS] last hidden state and projects 768 -> 512 through
+    a GELU MLP (:934-940)."""
+
+    context_length: int = 256
+    vocab_size: int = 30522
+    hidden: int = 768
+    heads: int = 12
+    layers: int = 12
+    proj_dim: int = 512
+    max_position: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids, attn_mask=None, context: Optional[jnp.ndarray] = None):
+        K, L = ids.shape
+        if attn_mask is None:
+            attn_mask = jnp.ones((K, L), dtype=jnp.int32)
+        tok = nn.Embed(self.vocab_size, self.hidden, dtype=self.dtype, name="word_embeddings")(ids)
+        if context is not None:
+            n_ctx = context.shape[0]
+            ctx = jnp.broadcast_to(context[None], (K, n_ctx, self.hidden)).astype(tok.dtype)
+            x = jnp.concatenate([tok[:, :1], ctx, tok[:, 1 : L - n_ctx]], axis=1)
+            mask = jnp.concatenate(
+                [
+                    attn_mask[:, :1],
+                    jnp.ones((K, n_ctx), attn_mask.dtype),
+                    attn_mask[:, 1 : L - n_ctx],
+                ],
+                axis=1,
+            )
+        else:
+            x, mask = tok, attn_mask
+        pos = self.param(
+            "position_embeddings",
+            nn.initializers.normal(0.02),
+            (self.max_position, self.hidden),
+        )
+        ttype = self.param(
+            "token_type_embeddings", nn.initializers.normal(0.02), (2, self.hidden)
+        )
+        x = x + pos[None, : x.shape[1]].astype(x.dtype) + ttype[0][None, None].astype(x.dtype)
+        x = nn.LayerNorm(dtype=jnp.float32, name="embeddings_ln")(x)
+
+        # additive mask: [K, 1(q), L(k)] broadcast over heads
+        add_mask = jnp.where(mask[:, None, :] > 0, 0.0, -jnp.inf)
+        for i in range(self.layers):
+            x = TransformerBlock(
+                self.hidden, self.heads, act="gelu", dtype=self.dtype, name=f"layer_{i}"
+            )(x, mask=add_mask)
+        cls = x[:, 0]  # ClsLastHiddenStatePooler (:934-940)
+        h = nn.Dense((self.hidden + self.proj_dim) // 2, dtype=self.dtype, name="proj_fc1")(cls)
+        h = jax.nn.gelu(h)
+        out = nn.Dense(self.proj_dim, dtype=self.dtype, name="proj_fc2")(h)
+        return out
+
+
+def build_text_encoder(clip_type: str, embed_dim: int = 512, dtype=jnp.float32,
+                       tiny: bool = False):
+    """Factory mirroring the CLIP_Type switch at drift_noise_model.py:71-90.
+    Returns (module, token_embed_dim, tokenizer_kind). ``embed_dim`` is the
+    projected text-embedding size (== the UNet ``context_dim``); ``tiny``
+    shrinks the tower for tests."""
+    if clip_type == "BiomedCLIP":
+        if tiny:
+            mod = HFContextTextEncoder(hidden=48, heads=4, layers=2, proj_dim=embed_dim,
+                                       vocab_size=512, context_length=32, max_position=64,
+                                       dtype=dtype)
+            return mod, 48, "bert"
+        return HFContextTextEncoder(proj_dim=embed_dim, dtype=dtype), 768, "bert"
+    if tiny:
+        mod = CLIPTextContextEncoder(width=48, heads=4, layers=2, embed_dim=embed_dim,
+                                     vocab_size=512, context_length=16, dtype=dtype)
+        return mod, 48, "clip"
+    return CLIPTextContextEncoder(embed_dim=embed_dim, dtype=dtype), 512, "clip"

@@ -9,6 +9,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402  (import after env setup)
+
+# The axon TPU plugin overrides jax_platforms to "axon,cpu" at import time,
+# ignoring the env var — force CPU explicitly before any backend init.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

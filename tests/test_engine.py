@@ -1,0 +1,102 @@
+"""CLIPDriftEngine tests: train-step contract, loss descent, EMA, lr schedule,
+checkpoint bundle layout and resume (tiny config — 1-CPU box)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instancediff_tpu.models.drift_model import (
+    CLIPDriftEngine,
+    cosine_annealing_lr,
+    _ema_update,
+)
+from instancediff_tpu.sde import DriftSDE
+
+TINY = dict(in_nc=2, out_nc=5, nf=8, ch_mult=[1, 2], context_dim=16,
+            text_module="scoremap", score_map_chan=4, if_MultiScoreMap=True,
+            num_res_blocks=1)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return CLIPDriftEngine(
+        dnet_settings=TINY, nnet_settings=TINY,
+        score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, CLIP_Type="CLIP", tiny_text_encoder=True,
+        sde=DriftSDE(T=8, max_sigma=0.4), image_size=8, nepoch=4,
+        drift_net_lr=1e-3, noise_net_lr=1e-3, seed=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    k = jax.random.key(0)
+    x0 = jax.random.uniform(k, (2, 8, 8, 1)) * 2 - 1
+    mu = x0 + 0.3 * jax.random.normal(jax.random.key(1), x0.shape)
+    return {"input": mu, "target": x0, "type_idx": jnp.array([0, 4]),
+            "A_emb": jnp.zeros((2, 1, 16))}
+
+
+def test_train_loss_decreases(engine, batch):
+    losses = [engine.optimize_parameters(batch, jax.random.key(10 + i)) for i in range(6)]
+    assert losses[-1] < losses[0]
+    msg = engine.get_loss_message()
+    for k in ("l=", "dl=", "nl=", "dsml=", "nsml="):
+        assert k in msg
+
+
+def test_sampling_shape_and_finite(engine, batch):
+    out = engine.test(batch, jax.random.key(9), use_ema=False)
+    assert out.shape == (2, 8, 8, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    vis = engine.get_visuals()
+    assert isinstance(vis, np.ndarray)
+
+
+def test_checkpoint_bundle_and_resume(engine, tmp_path):
+    d = str(tmp_path)
+    it = int(engine.state["step"])
+    engine.save(d, it)
+    engine.save_training_state(d, epoch=2, iteration=it)
+    files = sorted(os.listdir(d))
+    for suffix in (f"{it}_DN.ckpt", f"{it}_NN.ckpt", f"{it}_DP.ckpt", f"{it}_NP.ckpt",
+                   "lastest_DN_ema.ckpt", "lastest_NN_ema.ckpt", f"{it}.state"):
+        assert suffix in files, files
+    ref = np.asarray(jax.tree.leaves(engine.state["drift"])[0]).copy()
+    engine.state["drift"] = jax.tree.map(jnp.zeros_like, engine.state["drift"])
+    engine.load(d, it)
+    got = np.asarray(jax.tree.leaves(engine.state["drift"])[0])
+    np.testing.assert_allclose(ref, got)
+    epoch, iteration = engine.resume_training(os.path.join(d, f"{it}.state"))
+    assert epoch == 2 and iteration == it
+    assert int(engine.state["step"]) == it
+
+
+def test_cosine_annealing_schedule():
+    lr0, eta = 1e-3, 1e-6
+    assert cosine_annealing_lr(0, 10, lr0, eta) == pytest.approx(lr0)
+    assert cosine_annealing_lr(10, 10, lr0, eta) == pytest.approx(eta)
+    mid = cosine_annealing_lr(5, 10, lr0, eta)
+    assert mid == pytest.approx((lr0 + eta) / 2, rel=1e-6)
+
+
+def test_ema_semantics():
+    p = {"w": jnp.ones((4,))}
+    e = {"w": jnp.zeros((4,))}
+    # copy phase (step < update_after): tick copies params
+    out = _ema_update(e, p, jnp.asarray(10), beta=0.9, update_every=10, update_after=100)
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0)
+    # non-tick step: unchanged
+    out = _ema_update(e, p, jnp.asarray(11), beta=0.9, update_every=10, update_after=100)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.0)
+    # decay phase
+    out = _ema_update(e, p, jnp.asarray(110), beta=0.9, update_every=10, update_after=100)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-6)
+
+
+def test_get_nets_contract(engine):
+    nets = engine.get_nets(use_ema=True)
+    assert set(nets) == {"drift_net", "noise_net"}
