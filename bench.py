@@ -1,0 +1,103 @@
+"""Benchmark: reverse-sampling throughput (the BASELINE.json north-star
+metric: 100-step, 256px, images/sec/chip).
+
+Runs the flagship drift-diffusion sampler — 100 sequential steps x 2
+conditional-UNet forwards per image, full CLIP text tower encodings hoisted
+out of the scan — as one jitted lax.scan, batched, in bfloat16 compute with
+fp32 normalisation statistics.
+
+Prints ONE JSON line:
+  {"metric": "reverse_sampling_images_per_sec_per_chip", "value": N,
+   "unit": "img/s", "vs_baseline": N}
+
+``vs_baseline`` is measured throughput / an estimated A100 reference
+throughput. The reference publishes no numbers (BASELINE.md); the estimate is
+derived from its cost structure (100 steps x 2 UNet fwd + 2x4 ScoreMapModule
+text-encoder forwards per step at 224px, unbatched inference, testUM.py
+measures but does not report) — assumed 0.5 img/s on A100. >=10x is the
+driver-defined north star.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+A100_BASELINE_IMG_PER_SEC = 0.5  # documented estimate, see module docstring
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--tiny", action="store_true", help="tiny CPU-debug config")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from instancediff_tpu.models.drift_model import CLIPDriftEngine
+    from instancediff_tpu.sde import DriftSDE
+
+    if args.tiny:
+        settings = dict(in_nc=2, out_nc=5, nf=8, ch_mult=[1, 2], context_dim=16,
+                        text_module="scoremap", score_map_chan=4,
+                        if_MultiScoreMap=True, num_res_blocks=1)
+        eng = CLIPDriftEngine(
+            dnet_settings=settings, nnet_settings=settings,
+            score_map_ch_mult=(1, 1), score_map_ngf=8,
+            use_image_context=True, CLIP_Type="CLIP", tiny_text_encoder=True,
+            sde=DriftSDE(T=args.steps, max_sigma=0.4), image_size=32,
+            if_train=False,
+        )
+        res, batch_size = 32, 2
+    else:
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        settings = dict(in_nc=2, out_nc=5, nf=64, ch_mult=[1, 2, 4, 4],
+                        context_dim=512, text_module="scoremap", score_map_chan=16,
+                        if_MultiScoreMap=True, num_res_blocks=2)
+        eng = CLIPDriftEngine(
+            dnet_settings=settings, nnet_settings=settings,
+            score_map_ch_mult=(1, 1, 2, 4), score_map_ngf=64,
+            use_image_context=True, CLIP_Type="CLIP",
+            sde=DriftSDE(T=args.steps, max_sigma=0.4), image_size=args.res,
+            dtype=dtype, if_train=False,
+        )
+        res, batch_size = args.res, args.batch
+
+    key = jax.random.key(0)
+    mu = jax.random.uniform(key, (batch_size, res, res, 1)) * 2 - 1
+    type_idx = jnp.arange(batch_size, dtype=jnp.int32) % 5
+    a_emb = jnp.zeros((batch_size, 1, eng.context_dim))
+
+    sample = jax.jit(eng.build_sample_fn())
+    dparams, nparams = eng.state["drift"], eng.state["noise"]
+
+    # compile + warmup
+    out = sample(dparams, nparams, eng.text_params, mu, type_idx, a_emb, key)
+    jax.block_until_ready(out)
+
+    times = []
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        out = sample(dparams, nparams, eng.text_params, mu, type_idx, a_emb,
+                     jax.random.fold_in(key, r))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    imgs_per_sec = batch_size / best
+    print(json.dumps({
+        "metric": "reverse_sampling_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 4),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,11 +154,15 @@ class CLIPDriftEngine:
         k_text, k_d, k_n = jax.random.split(key, 3)
         n_ctx_probe = jnp.zeros((8, token_embed_dim))
         if tok_kind == "bert":
-            self.text_params = self.text_encoder.init(
-                k_text, self.prompt_ids, self.prompt_mask, n_ctx_probe
-            )
+            self.text_params = jax.jit(
+                lambda kk: self.text_encoder.init(
+                    kk, self.prompt_ids, self.prompt_mask, n_ctx_probe
+                )
+            )(k_text)
         else:
-            self.text_params = self.text_encoder.init(k_text, self.prompt_ids, n_ctx_probe)
+            self.text_params = jax.jit(
+                lambda kk: self.text_encoder.init(kk, self.prompt_ids, n_ctx_probe)
+            )(k_text)
 
         # ---- dual UNets (prompt modules owned inside, split at checkpoint) ----
         def build_unet(settings):
@@ -194,14 +198,19 @@ class CLIPDriftEngine:
             img=jnp.zeros((B, 1, self.context_dim)) if use_image_context else None,
         )
         text_fn = self._make_text_fn(self.text_params)
-        self.drift_params = self.drift_net.init(
-            k_d, probe["x_a"], probe["x_b"], probe["t"], probe["ty"],
-            text_fn=text_fn, image_context=probe["img"],
-        )
-        self.noise_params = self.noise_net.init(
-            k_n, probe["x_a"], probe["x_b"], probe["t"], probe["ty"],
-            text_fn=text_fn, image_context=probe["img"],
-        )
+
+        # jit the inits: one compiled program each instead of hundreds of
+        # eagerly dispatched (and per-op compiled) device ops
+        def init_net(net, k):
+            return jax.jit(
+                lambda kk: net.init(
+                    kk, probe["x_a"], probe["x_b"], probe["t"], probe["ty"],
+                    text_fn=text_fn, image_context=probe["img"],
+                )
+            )(k)
+
+        self.drift_params = init_net(self.drift_net, k_d)
+        self.noise_params = init_net(self.noise_net, k_n)
 
         # ---- optimizers / EMA / loss accounting ----
         self.if_train = if_train
@@ -518,6 +527,8 @@ def create_CLIPDriftModel(train_opt, model_opt, phase="train", **kwargs):
         use_degra_context=model_opt.get("use_degra_context", False),
         CLIP_Type=model_opt.get("CLIP_Type", "CLIP"),
         text_encoder_pretrain_path=model_opt.get("text_encoder_pretrain_path"),
+        tiny_text_encoder=bool(model_opt.get("tiny_text_encoder")),
+        tokenizer_vocab_path=model_opt.get("tokenizer_vocab_path"),
         if_train=(phase == "train"),
         **kwargs,
     )

@@ -1,0 +1,17 @@
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    shard_params_fsdp,
+    replicate_tree,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "shard_params_fsdp",
+    "replicate_tree",
+]

@@ -1,0 +1,134 @@
+"""Inference/evaluation driver — semantics parity with reference testUM.py.
+
+Usage: ``python testUM.py -opt=Configurations/config.yml``
+
+Loads the checkpoint iteration ``opt['test']['iter']`` from
+``opt['test']['pth_dir']`` (optionally the EMA shadows), runs the jitted
+100-step reverse sampler per test sample, computes RMSE/SSIM/PSNR on
+``pred/2+0.5`` rescaled outputs with the reference's exact metric settings
+(testUM.py:151-164), dumps ``LQ|pred|GT`` concatenations as raw float32
+(:170-173) and prints per-artifact-type averages (:179-185).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+
+import numpy as np
+import yaml
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True)
+    parser.add_argument("--platform", type=str, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from instancediff_tpu.config import ordered_yaml, dict_to_nonedict
+    from instancediff_tpu import data as data_pkg
+    from instancediff_tpu.models import create_model
+    from instancediff_tpu.sde import create_sde
+    from instancediff_tpu.utils import set_random_seed, save_raw
+    from instancediff_tpu.utils.metrics import eval_restoration
+
+    # raw yaml load (reference testUM.py:46-52 uses no option.parse)
+    loader, _ = ordered_yaml()
+    with open(args.opt) as f:
+        opt = yaml.load(f, Loader=loader)
+    opt = dict_to_nonedict(opt)
+
+    seed = (opt.get("test") or {}).get("seed") or 0
+    set_random_seed(seed)
+    root_key = jax.random.key(seed)
+
+    test_opt = opt["test"] or {}
+    result_root = test_opt.get("result_dir") or osp.join(
+        os.getcwd(), "results", opt.get("name") or "test")
+
+    # build test loaders per dataset entry (reference :58-67)
+    loaders = []
+    for phase, dataset_opt in (opt["datasets"] or {}).items():
+        if not phase.startswith("test") and not phase.startswith("val"):
+            continue
+        dataset_opt["phase"] = "test"
+        ds = data_pkg.create_dataset(dataset_opt)
+        loaders.append((phase, data_pkg.create_dataloader(ds, dataset_opt)))
+    assert loaders, "no test/val dataset entries in config"
+
+    which_model = opt["train"]["which_model"] if opt.get("train") else "DriftNoise"
+    model_opt = opt["models"][which_model]
+    model = create_model(None, model_opt, phase="test",
+                         image_size=(opt.get("resolution") or 224), seed=seed)
+
+    # checkpoint load (reference :76, :89-92; EMA nets optional)
+    use_ema = bool(test_opt.get("use_ema"))
+    if test_opt.get("pth_dir"):
+        model.load(test_opt["pth_dir"], test_opt.get("iter"), use_ema=use_ema)
+
+    which_sde = (opt["train"] or {}).get("which_sde") or "driftSDE"
+    sde = create_sde(opt["sdes"][which_sde])
+    model.set_sde(sde)
+
+    artifact_types = opt.get("artifact_type") or []
+    test_results = {
+        name: {"RMSE": [], "SSIM": [], "PSNR": [], "time": [], "num": 0}
+        for name in (artifact_types or ["all"])
+    }
+
+    for phase, loader in loaders:
+        for i, batch in enumerate(loader):
+            name = batch["names"][0]
+            if artifact_types and name not in artifact_types:
+                continue
+            bucket = test_results.get(name) or test_results.setdefault(
+                name, {"RMSE": [], "SSIM": [], "PSNR": [], "time": [], "num": 0})
+            device_batch = {
+                "input": jnp.asarray(batch["input"]),
+                "target": jnp.asarray(batch["target"]),
+                "A_emb": jnp.asarray(batch["A_emb"]),
+                "type_idx": jnp.asarray(batch["type_idx"]),
+            }
+            tic = time.time()
+            pred = model.test(device_batch, jax.random.fold_in(root_key, i),
+                              use_ema=use_ema)
+            pred = np.asarray(jax.block_until_ready(pred))
+            toc = time.time()
+
+            m = eval_restoration(pred[0, ..., 0], batch["target"][0, ..., 0])
+            bucket["RMSE"].append(m["RMSE"])
+            bucket["SSIM"].append(m["SSIM"])
+            bucket["PSNR"].append(m["PSNR"])
+            bucket["time"].append(toc - tic)
+            bucket["num"] += 1
+
+            to_save = np.concatenate(
+                [batch["input"][0, ..., 0], pred[0, ..., 0], batch["target"][0, ..., 0]],
+                axis=-1)
+            save_dir = osp.join(result_root, name)
+            save_raw(to_save, osp.join(
+                save_dir, f"{i}_{to_save.shape[-1]}x{to_save.shape[-2]}x1.raw"))
+            print(f"\n Testing {i}, {batch['GT_path'][0]}: RMSE={m['RMSE']}, "
+                  f"SSIM={m['SSIM']}, PSNR={m['PSNR']} ({toc - tic:.2f}s)")
+
+    for name, v in test_results.items():
+        if v["num"] == 0:
+            continue
+        message = name
+        for k in ("RMSE", "SSIM", "PSNR"):
+            message += f", AVG {k}: {sum(v[k]) / v['num']}"
+        message += f", AVG time: {sum(v['time']) / v['num']:.3f}s"
+        print(message)
+    return test_results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""SPMD tests on the virtual 8-CPU-device mesh: dp batch sharding, fsdp
+parameter sharding, and the sharded train step (the reference's 2-GPU DDP
+path, SURVEY.md SS2.11, re-expressed as mesh shardings)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instancediff_tpu.parallel import (
+    make_mesh,
+    batch_sharding,
+    shard_batch,
+    shard_params_fsdp,
+    replicate_tree,
+)
+from instancediff_tpu.parallel.mesh import _fsdp_spec
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(("dp",), (8,))
+    assert mesh.shape["dp"] == 8
+    mesh2 = make_mesh(("dp", "fsdp"), (4, 2))
+    assert mesh2.shape["dp"] == 4 and mesh2.shape["fsdp"] == 2
+    with pytest.raises(AssertionError):
+        make_mesh(("dp",), (3,))
+
+
+def test_shard_batch_places_on_all_devices():
+    mesh = make_mesh(("dp",), (8,))
+    batch = {"input": np.ones((8, 4, 4, 1), np.float32), "type_idx": np.zeros(8, np.int32)}
+    sharded = shard_batch(mesh, batch)
+    assert len(sharded["input"].sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(sharded["input"]), batch["input"])
+
+
+def test_fsdp_spec_rules():
+    mesh = make_mesh(("dp", "fsdp"), (4, 2))
+    x = jnp.zeros((6, 8))
+    spec = _fsdp_spec(x, mesh)
+    assert spec == jax.sharding.PartitionSpec(None, "fsdp")
+    # odd shapes replicate
+    assert _fsdp_spec(jnp.zeros((3, 5)), mesh) == jax.sharding.PartitionSpec()
+    assert _fsdp_spec(jnp.zeros(()), mesh) == jax.sharding.PartitionSpec()
+
+
+def test_fsdp_roundtrip_values():
+    mesh = make_mesh(("dp", "fsdp"), (4, 2))
+    params = {"w": jnp.arange(16.0).reshape(4, 4), "b": jnp.ones((3,))}
+    sharded = shard_params_fsdp(mesh, params)
+    np.testing.assert_allclose(np.asarray(sharded["w"]), np.asarray(params["w"]))
+    np.testing.assert_allclose(np.asarray(sharded["b"]), np.asarray(params["b"]))
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    from instancediff_tpu.models.drift_model import CLIPDriftEngine
+    from instancediff_tpu.sde import DriftSDE
+
+    settings = dict(in_nc=2, out_nc=5, nf=4, ch_mult=[1, 2], context_dim=8,
+                    text_module="scoremap", score_map_chan=2,
+                    if_MultiScoreMap=True, num_res_blocks=1)
+    return CLIPDriftEngine(
+        dnet_settings=settings, nnet_settings=settings,
+        score_map_ch_mult=(1, 1), score_map_ngf=4,
+        use_image_context=True, CLIP_Type="CLIP", tiny_text_encoder=True,
+        sde=DriftSDE(T=2, max_sigma=0.4), image_size=8, nepoch=2, seed=0,
+    )
+
+
+def test_sharded_train_step_matches_single_device(tiny_engine):
+    """The dp-sharded jitted step must produce the same loss and (replicated)
+    parameter update as the unsharded one — XLA's inserted collectives are
+    the DDP allreduce."""
+    eng = tiny_engine
+    k = jax.random.key(0)
+    x0 = jax.random.uniform(k, (8, 8, 8, 1)) * 2 - 1
+    mu = x0 + 0.2 * jax.random.normal(jax.random.fold_in(k, 1), x0.shape)
+    batch = {"input": mu, "target": x0,
+             "type_idx": jnp.arange(8, dtype=jnp.int32) % 5,
+             "A_emb": jnp.zeros((8, 1, 8))}
+    lr = jnp.asarray(1e-3, jnp.float32)
+    step_key = jax.random.key(7)
+
+    step_fn = jax.jit(eng.build_train_step())
+
+    # single-device reference
+    state0 = jax.tree.map(jnp.copy, eng.state)
+    ref_state, ref_metrics = step_fn(state0, batch, step_key, eng.text_params, lr, lr)
+
+    # dp-sharded
+    mesh = make_mesh(("dp",), (8,))
+    sharded_batch = shard_batch(mesh, batch)
+    state1 = replicate_tree(mesh, jax.tree.map(jnp.copy, eng.state))
+    text_p = replicate_tree(mesh, eng.text_params)
+    new_state, metrics = step_fn(state1, sharded_batch, step_key, text_p, lr, lr)
+
+    assert np.isfinite(float(metrics["l"]))
+    np.testing.assert_allclose(float(metrics["l"]), float(ref_metrics["l"]), rtol=1e-5)
+    ref_leaf = np.asarray(jax.tree.leaves(ref_state["drift"])[0])
+    got_leaf = np.asarray(jax.tree.leaves(new_state["drift"])[0])
+    np.testing.assert_allclose(ref_leaf, got_leaf, rtol=1e-4, atol=1e-6)
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -1,0 +1,199 @@
+"""Training driver — CLI/semantics parity with reference trainUM.py:81-363.
+
+Usage: ``python trainUM.py -opt=Configurations/config.yml``
+
+Differences from the reference (TPU-native):
+  * ``torch.distributed.launch`` is replaced by single-process SPMD — when
+    more than one JAX device is visible the jitted train step is sharded
+    over a ``('dp',)`` mesh with gradient pmean over ICI
+    (``--launcher pytorch`` is accepted and ignored for CLI parity).
+  * checkpoints are flax msgpack bundles in the reference layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True, help="Path to option YAML file.")
+    parser.add_argument("--launcher", choices=["none", "pytorch"], default="none",
+                        help="accepted for reference-CLI parity; SPMD replaces it")
+    parser.add_argument("--local_rank", type=int, default=0)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu) before backend init")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from instancediff_tpu.config import parse, dict_to_nonedict, dict2str
+    from instancediff_tpu import data as data_pkg
+    from instancediff_tpu.data import DistIterSampler
+    from instancediff_tpu.models import create_model
+    from instancediff_tpu.sde import create_sde
+    from instancediff_tpu.utils import (
+        mkdir_and_rename, mkdirs, set_random_seed, setup_logger, store_files, save_raw,
+    )
+    from instancediff_tpu.utils.metrics import eval_restoration
+    from instancediff_tpu.parallel import make_mesh, shard_batch
+
+    opt = parse(args.opt, is_train=True)
+    opt = dict_to_nonedict(opt)
+
+    seed = (opt["train"] or {}).get("manual_seed") or 0
+    set_random_seed(seed)
+    root_key = jax.random.key(seed)
+
+    # SPMD world size: all visible devices when train.dist is set (the
+    # reference's DDP world), else single device (trainUM.py:50-70 analogue)
+    n_devices = jax.device_count()
+    world_size = n_devices if (opt["train"] or {}).get("dist") else 1
+    opt["world_size"] = world_size
+
+    # resume state handling (reference trainUM.py:123-131 + options.check_resume)
+    resume_state_path = opt["path"].get("resume_state")
+    resume_epoch, resume_iter = 0, 0
+
+    # experiment dirs (reference trainUM.py:135-157)
+    if not resume_state_path:
+        mkdir_and_rename(opt["path"]["experiments_root"])
+    mkdirs([opt["path"]["models"], opt["path"]["training_state"], opt["path"]["val_images"]])
+    store_files(opt, osp.join(opt["path"]["experiments_root"], "files"))
+    log_link = "./log"
+    try:
+        if osp.islink(log_link) or osp.exists(log_link):
+            os.remove(log_link)
+        os.symlink(opt["path"]["experiments_root"], log_link)
+    except OSError:
+        pass
+    logger = setup_logger("instancediff_tpu", opt["path"]["log"], "train",
+                          screen=True, tofile=True)
+    logger.info(dict2str(opt))
+    logger.info("devices: %s (world_size=%d)", jax.devices(), world_size)
+
+    # datasets (reference trainUM.py:159-188)
+    train_loader = val_loader = None
+    train_sampler = None
+    for phase, dataset_opt in opt["datasets"].items():
+        phase = phase.split("_")[0]
+        dataset = data_pkg.create_dataset(dataset_opt)
+        if phase == "train":
+            train_sampler = DistIterSampler(len(dataset), num_replicas=1, rank=0)
+            train_loader = data_pkg.create_dataloader(dataset, dataset_opt, opt, train_sampler)
+            logger.info("train dataset: %d images, %d iters/epoch",
+                        len(dataset), len(train_loader))
+        elif phase == "val":
+            val_loader = data_pkg.create_dataloader(dataset, dataset_opt, opt)
+            logger.info("val dataset: %d images", len(dataset))
+    assert train_loader is not None
+
+    # model + sde (reference trainUM.py:190-217)
+    train_opt = opt["train"]
+    which_model = train_opt["which_model"]
+    model_opt = opt["models"][which_model]
+    sde = create_sde(opt["sdes"][train_opt["which_sde"]])
+    model = create_model(train_opt, model_opt, phase="train",
+                         image_size=(opt.get("resolution") or 224),
+                         seed=seed)
+    model.set_sde(sde)
+
+    mesh = (make_mesh(("dp",), (world_size,), devices=jax.devices()[:world_size])
+            if world_size > 1 else None)
+    if mesh is not None:
+        logger.info("SPMD mesh: %s", mesh)
+
+    if resume_state_path:
+        resume_iter_dir = opt["path"]["models"]
+        state_file = resume_state_path
+        resume_epoch, resume_iter = model.resume_training(state_file)
+        model.load(resume_iter_dir, resume_iter)
+        logger.info("resumed from epoch %d iter %d", resume_epoch, resume_iter)
+        resume_epoch += 1  # reference re-enters at epoch+1 (trainUM.py:196-206)
+
+    nepoch = train_opt["nepoch"]
+    print_freq = (opt["logger"] or {}).get("print_freq") or 100
+    save_freq = (opt["logger"] or {}).get("save_checkpoint_freq") or 1000
+    val_freq = train_opt.get("val_freq") or 10**9
+    max_val = 10  # reference caps inline validation at <=10 samples
+
+    current_iter = resume_iter
+    for epoch in range(resume_epoch, nepoch):
+        train_loader.set_epoch(epoch)
+        model.reinit_loss_message()
+        epoch_start = time.time()
+        for batch in train_loader:
+            current_iter += 1
+            step_key = jax.random.fold_in(root_key, current_iter)
+            device_batch = {
+                "input": jnp.asarray(batch["input"]),
+                "target": jnp.asarray(batch["target"]),
+                "A_emb": jnp.asarray(batch["A_emb"]),
+                "type_idx": jnp.asarray(batch["type_idx"]),
+            }
+            if mesh is not None:
+                device_batch = shard_batch(mesh, device_batch)
+            model.optimize_parameters(device_batch, step_key, epoch=epoch)
+
+            if current_iter % print_freq == 0:
+                lr = model.get_current_learning_rate(epoch)
+                logger.info("epoch %d iter %d lr %.3e %s",
+                            epoch, current_iter, lr, model.get_loss_message())
+
+            if current_iter % save_freq == 0:
+                model.save(opt["path"]["models"], current_iter)
+                model.save_training_state(opt["path"]["training_state"], epoch, current_iter)
+                logger.info("checkpoint saved at iter %d", current_iter)
+
+            if val_loader is not None and current_iter % val_freq == 0:
+                metrics = {"PSNR": [], "SSIM": [], "RMSE": []}
+                for vi, vbatch in enumerate(val_loader):
+                    if vi >= max_val:
+                        break
+                    vb = {
+                        "input": jnp.asarray(vbatch["input"]),
+                        "target": jnp.asarray(vbatch["target"]),
+                        "A_emb": jnp.asarray(vbatch["A_emb"]),
+                        "type_idx": jnp.asarray(vbatch["type_idx"]),
+                    }
+                    pred = np.asarray(model.test(vb, jax.random.fold_in(step_key, vi)))
+                    m = eval_restoration(pred[0, ..., 0], vbatch["target"][0, ..., 0])
+                    for k in metrics:
+                        metrics[k].append(m[k])
+                    concat = np.concatenate(
+                        [vbatch["input"][0, ..., 0], pred[0, ..., 0],
+                         vbatch["target"][0, ..., 0]], axis=-1)
+                    save_raw(concat, osp.join(
+                        opt["path"]["val_images"],
+                        f"{current_iter}_{vi}_{concat.shape[-1]}x{concat.shape[-2]}x1.raw"))
+                logger.info("VAL iter %d: PSNR %.4f SSIM %.4f RMSE %.4f",
+                            current_iter,
+                            float(np.mean(metrics["PSNR"])),
+                            float(np.mean(metrics["SSIM"])),
+                            float(np.mean(metrics["RMSE"])))
+
+        logger.info("epoch %d done in %.1fs, %s", epoch, time.time() - epoch_start,
+                    model.get_loss_message())
+        if (epoch + 1) % 5 == 0:  # reference epoch-multiple-of-5 cadence (:350-354)
+            model.save(opt["path"]["models"], current_iter)
+            model.save_training_state(opt["path"]["training_state"], epoch, current_iter)
+
+    model.save(opt["path"]["models"], "latest")
+    model.save_training_state(opt["path"]["training_state"], nepoch - 1, current_iter)
+    logger.info("training complete at iter %d", current_iter)
+
+
+if __name__ == "__main__":
+    main()
