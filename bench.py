@@ -27,6 +27,22 @@ import time
 A100_BASELINE_IMG_PER_SEC = 0.5  # documented estimate, see module docstring
 
 
+
+def _setup_jax_cache():
+    """Persistent XLA compilation cache: first compile (minutes on this
+    1-core host) is amortised across runs/sessions."""
+    import os
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=256)
@@ -38,6 +54,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    _setup_jax_cache()
     import jax.numpy as jnp
 
     from instancediff_tpu.models.drift_model import CLIPDriftEngine

@@ -1,0 +1,127 @@
+"""BiomedCLIP / CLIP combined model wrapper.
+
+Capability parity with the vendored open_clip fork (SURVEY.md SS2.7):
+``models/BiomedCLIP/__init__.py:7 get_BiomedCLIP()`` returns a contrastive
+image/text model used offline to precompute the ``emb_A`` image embeddings;
+``model.py:311-377 CustomTextCLIP`` exposes ``encode_image`` /
+``encode_text`` with L2-normalised outputs and a learnable logit scale.
+
+TPU-native implementation: the flax ViT-B/16 tower (clip_vit.py) + the
+PubMedBERT text tower (text_encoder.py), a WordPiece tokenizer over the local
+vocab assets, and jitted encode functions. Weights load from a torch
+open_clip checkpoint when one exists (unreleased upstream —
+``open_clip_pytorch_model.bin`` is a TODO in the reference); random frozen
+weights otherwise (embeddings are then only self-consistent, which is what
+the synthetic pipeline needs).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .clip_vit import CLIPVisionTower, load_torch_clip_vision_weights
+from .text_encoder import HFContextTextEncoder, CLIPTextContextEncoder
+from .tokenizer import BertWordPieceTokenizer, ClipBPETokenizer
+
+
+class BiomedCLIP:
+    """Contrastive wrapper: ``encode_image(imgs) -> [B,E]``,
+    ``encode_text(list[str]) -> [K,E]``, both L2-normalised."""
+
+    def __init__(self, clip_type="BiomedCLIP", embed_dim=512, seed=0,
+                 vocab_path=None, checkpoint_path=None, tiny=False,
+                 dtype=jnp.float32):
+        self.clip_type = clip_type
+        self.embed_dim = embed_dim
+        key = jax.random.key(seed)
+        kv, kt = jax.random.split(key)
+
+        if tiny:
+            self.visual = CLIPVisionTower(image_size=32, patch_size=8, width=32,
+                                          layers=2, heads=4, embed_dim=embed_dim,
+                                          dtype=dtype)
+            probe_img = jnp.zeros((1, 32, 32, 1))
+        else:
+            self.visual = CLIPVisionTower(embed_dim=embed_dim, dtype=dtype)
+            probe_img = jnp.zeros((1, 224, 224, 1))
+        self.visual_params = jax.jit(lambda k: self.visual.init(k, probe_img))(kv)
+
+        if clip_type == "BiomedCLIP":
+            if tiny:
+                self.text = HFContextTextEncoder(hidden=32, heads=4, layers=2,
+                                                 proj_dim=embed_dim, vocab_size=512,
+                                                 context_length=32, max_position=64,
+                                                 dtype=dtype)
+            else:
+                self.text = HFContextTextEncoder(proj_dim=embed_dim, dtype=dtype)
+            self.tokenizer = BertWordPieceTokenizer(
+                vocab_path, context_length=self.text.context_length,
+                vocab_size=self.text.vocab_size)
+            probe_ids = jnp.zeros((1, self.text.context_length), jnp.int32)
+            probe_mask = jnp.ones_like(probe_ids)
+            self.text_params = jax.jit(
+                lambda k: self.text.init(k, probe_ids, probe_mask, None))(kt)
+        else:
+            if tiny:
+                self.text = CLIPTextContextEncoder(width=32, heads=4, layers=2,
+                                                   embed_dim=embed_dim, vocab_size=512,
+                                                   context_length=16, dtype=dtype)
+            else:
+                self.text = CLIPTextContextEncoder(embed_dim=embed_dim, dtype=dtype)
+            self.tokenizer = ClipBPETokenizer(
+                vocab_path, context_length=self.text.context_length,
+                vocab_size=self.text.vocab_size)
+            self.text_params = jax.jit(
+                lambda k: self.text.init(
+                    k, jnp.zeros((1, self.text.context_length), jnp.int32), None))(kt)
+
+        self.logit_scale = float(np.log(1 / 0.07))  # open_clip init
+        if checkpoint_path:
+            self.visual_params = load_torch_clip_vision_weights(
+                self.visual_params, checkpoint_path)
+
+        self._encode_image = jax.jit(
+            lambda p, x: self.visual.apply(p, x))
+
+    def encode_image(self, images, normalize=True):
+        """images: [B,H,W,1|3] in [-1,1] -> [B, embed_dim]."""
+        emb = self._encode_image(self.visual_params, jnp.asarray(images))
+        if normalize:
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-8)
+        return emb
+
+    def encode_text(self, texts, normalize=True):
+        if self.clip_type == "BiomedCLIP":
+            ids, mask = self.tokenizer(texts)
+            emb = self.text.apply(self.text_params, jnp.asarray(ids),
+                                  jnp.asarray(mask), None)
+        else:
+            ids = self.tokenizer(texts)
+            emb = self.text.apply(self.text_params, jnp.asarray(ids), None)
+        if normalize:
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-8)
+        return emb
+
+    def __call__(self, images, texts):
+        """Contrastive logits (CustomTextCLIP.forward analogue)."""
+        ie = self.encode_image(images)
+        te = self.encode_text(texts)
+        scale = math.exp(self.logit_scale)
+        return scale * ie @ te.T
+
+
+def get_BiomedCLIP(vocab_path=None, checkpoint_path=None, tiny=False, seed=0):
+    """Convenience loader (models/BiomedCLIP/__init__.py:7-19 analogue).
+    Defaults the vocab to the reference's local asset when present."""
+    import os
+
+    if vocab_path is None:
+        cand = "/root/reference/models/BiomedCLIP/vocab.txt"
+        vocab_path = cand if os.path.isfile(cand) else None
+    return BiomedCLIP(clip_type="BiomedCLIP", vocab_path=vocab_path,
+                      checkpoint_path=checkpoint_path, tiny=tiny, seed=seed)

@@ -73,7 +73,8 @@ class CLIPDDPMEngine:
             CLIP_Type, embed_dim=self.context_dim, dtype=dtype, tiny=tiny_text_encoder)
         if tok_kind == "bert":
             tok = BertWordPieceTokenizer(
-                tokenizer_vocab_path, context_length=self.text_encoder.context_length)
+                tokenizer_vocab_path, context_length=self.text_encoder.context_length,
+                vocab_size=self.text_encoder.vocab_size)
             ids, mask = tok(list(artifact_prompts))
             self.prompt_ids, self.prompt_mask = jnp.asarray(ids), jnp.asarray(mask)
         else:

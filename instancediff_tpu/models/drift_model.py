@@ -139,7 +139,8 @@ class CLIPDriftEngine:
         self.token_embed_dim = token_embed_dim
         if tok_kind == "bert":
             tok = BertWordPieceTokenizer(
-                tokenizer_vocab_path, context_length=self.text_encoder.context_length)
+                tokenizer_vocab_path, context_length=self.text_encoder.context_length,
+                vocab_size=self.text_encoder.vocab_size)
             ids, mask = tok(list(artifact_prompts))
             self.prompt_ids = jnp.asarray(ids)
             self.prompt_mask = jnp.asarray(mask)
@@ -367,12 +368,19 @@ class CLIPDriftEngine:
         return [inner[f"smm_{i}"]["context"] for i in range(self.n_scales)
                 if f"smm_{i}" in inner]
 
-    def build_sample_fn(self, eta=None, noise_init=True):
+    def build_sample_fn(self, eta=None, noise_init=True, fuse_dual=True):
         """Pure jittable sampler: ``sample(dparams, nparams, text_params, mu,
-        type_idx, A_emb, key) -> x0_hat``. Text-tower encodings for both nets'
-        per-scale contexts are hoisted OUT of the 100-step scan — the
-        reference re-encodes prompts inside every net call, 2x100 times
-        (drift_noise_model.py:650); here they run once per sample call."""
+        type_idx, A_emb, key) -> x0_hat``. Two TPU-first structural wins over
+        the reference sampler (drift_noise_model.py:650):
+
+        1. Text-tower encodings for both nets' per-scale contexts are hoisted
+           OUT of the 100-step scan — the reference re-encodes prompts inside
+           every net call, 2x100 times per image.
+        2. ``fuse_dual``: drift and noise nets share one architecture, so
+           their parameter trees are stacked and evaluated as ONE vmapped
+           forward — a single traced UNet graph (half the compile) whose
+           convs see an effective 2B batch (better MXU utilisation at small
+           batch) instead of two sequential forwards per step."""
         sde = self.sde
 
         def sample(dparams, nparams, text_params, mu, type_idx, A_emb, key):
@@ -381,16 +389,35 @@ class CLIPDriftEngine:
             n_text = [text_fn(c) for c in self._smm_contexts(nparams)]
             img_ctx = A_emb if self.use_image_context else None
 
-            def predict(x, t_b):
-                pd, _ = self.drift_net.apply(
-                    dparams, x - mu, mu, t_b, type_idx,
-                    text_embs=d_text, image_context=img_ctx,
-                )
-                pn, _ = self.noise_net.apply(
-                    nparams, x - mu, x, t_b, type_idx,
-                    text_embs=n_text, image_context=img_ctx,
-                )
-                return pd, pn
+            if fuse_dual:
+                stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                                       dparams, nparams)
+                stacked_text = [jnp.stack([d, n]) for d, n in zip(d_text, n_text)]
+
+                def one_net(params, x_b, text_embs, x_a, t_b):
+                    pred, _ = self.drift_net.apply(
+                        params, x_a, x_b, t_b, type_idx,
+                        text_embs=list(text_embs), image_context=img_ctx,
+                    )
+                    return pred
+
+                vnet = jax.vmap(one_net, in_axes=(0, 0, 0, None, None))
+
+                def predict(x, t_b):
+                    x_b = jnp.stack([mu, x])  # drift sees mu, noise sees x_t
+                    preds = vnet(stacked, x_b, stacked_text, x - mu, t_b)
+                    return preds[0], preds[1]
+            else:
+                def predict(x, t_b):
+                    pd, _ = self.drift_net.apply(
+                        dparams, x - mu, mu, t_b, type_idx,
+                        text_embs=d_text, image_context=img_ctx,
+                    )
+                    pn, _ = self.noise_net.apply(
+                        nparams, x - mu, x, t_b, type_idx,
+                        text_embs=n_text, image_context=img_ctx,
+                    )
+                    return pd, pn
 
             return sde.reverse_ddpm(key, mu, predict, eta=eta, noise_init=noise_init)
 

@@ -70,6 +70,11 @@ class ScoreMapModule(nn.Module):
     n_ctx: int = 8
     decoder_layers: int = 3
     heads: int = 4
+    # DenseCLIP-style pooled memory: the cross-attention decoder reads the
+    # scale's features average-pooled to <= max_mem_hw^2 tokens. Without this
+    # the K/V projections at full resolution (65k tokens x 512d x 3 layers)
+    # dominate the whole model's FLOPs — measured 840 GFLOP/step at 256px.
+    max_mem_hw: int = 16
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -96,11 +101,20 @@ class ScoreMapModule(nn.Module):
     def __call__(self, vis, text_emb):
         B, h, w, _ = vis.shape
         K = text_emb.shape[0]
-        tokens = self.vis_in(vis.reshape(B, h * w, -1))  # project skip to visual_dim
-        memory = self.mem_proj(tokens)  # [B, hw, E]
+        # pooled memory for the decoder (see max_mem_hw note above)
+        if h > self.max_mem_hw or w > self.max_mem_hw:
+            ph, pw = h // self.max_mem_hw, w // self.max_mem_hw
+            pooled = nn.avg_pool(vis, (ph, pw), strides=(ph, pw))
+        else:
+            pooled = vis
+        mh, mw = pooled.shape[1], pooled.shape[2]
+        mem_tokens = self.vis_in(pooled.reshape(B, mh * mw, -1))
+        memory = self.mem_proj(mem_tokens)  # [B, <=max_mem_hw^2, E]
         q = jnp.broadcast_to(text_emb[None], (B, K, self.embed_dim)).astype(vis.dtype)
         for layer in self.decoder:
             q = layer(q, memory)
+        # full-resolution pixel embeddings for the score head
+        tokens = self.vis_in(vis.reshape(B, h * w, -1))
         vis_e = self.vis_ln(self.vis_emb(tokens))  # [B, hw, E]
         score = (
             jnp.einsum("bpe,bke->bpk", vis_e, q) * self.scale.astype(vis.dtype)

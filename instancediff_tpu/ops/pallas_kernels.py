@@ -1,0 +1,203 @@
+"""Pallas TPU kernels for the UNet hot paths.
+
+TPU-native replacements for the reference's fused CUDA substrate
+(SURVEY.md SS2.10: cuDNN/ATen conv+norm kernels, flash-attn CUDA kernels at
+_modified_BiomedCLIP.py:448-517). Convolutions stay on the XLA/MXU path
+(already speed-of-light there); Pallas covers what XLA fuses less well:
+
+  * ``group_norm_silu``: GroupNorm + SiLU (+ optional residual add) in one
+    HBM round-trip. A two-phase sequential grid per batch element first
+    accumulates per-group sum/sumsq over spatial tiles in VMEM scratch, then
+    re-streams the tiles to normalise+activate — 2 reads + 1 write per
+    element versus the unfused 3+ passes.
+  * ``flash_attention``: blockwise-softmax attention (log-sum-exp running
+    max) for the bottleneck spatial self-attention; numerically stable in
+    bf16 inputs with fp32 accumulation.
+
+Both kernels have jnp reference implementations used as fallbacks on CPU and
+as golden values in tests (interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# --------------------------------------------------------------------------- #
+# GroupNorm + SiLU                                                             #
+# --------------------------------------------------------------------------- #
+
+
+def group_norm_silu_reference(x, gamma, beta, num_groups, eps=1e-5,
+                              residual=None, silu=True):
+    """jnp reference: GN over (H,W,Cg) per (B,G), fp32 stats, then affine+SiLU."""
+    B, H, W, C = x.shape
+    G = num_groups
+    xg = x.astype(jnp.float32).reshape(B, H * W, G, C // G)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xn.reshape(B, H, W, C) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if silu:
+        out = out * jax.nn.sigmoid(out)
+    if residual is not None:
+        out = out + residual.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _gns_kernel(x_ref, gamma_ref, beta_ref, o_ref, acc_ref, *, G, eps, n_tiles, silu):
+    """Grid (B, 2, n_tiles): phase 0 accumulates per-group sum/sumsq over
+    spatial tiles; phase 1 normalises + activates. TPU grid execution is
+    sequential per core, so phase 0 tiles complete before phase 1 reads the
+    scratch statistics."""
+    phase = pl.program_id(1)
+    tile = pl.program_id(2)
+
+    x = x_ref[0].astype(jnp.float32)  # [rows, C]
+    rows, C = x.shape
+    Cg = C // G
+
+    @pl.when(jnp.logical_and(phase == 0, tile == 0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(phase == 0)
+    def _():
+        xg = x.reshape(rows, G, Cg)
+        acc_ref[0, :] += jnp.sum(xg, axis=(0, 2))
+        acc_ref[1, :] += jnp.sum(xg * xg, axis=(0, 2))
+
+    @pl.when(phase == 1)
+    def _():
+        n = rows * n_tiles * Cg
+        mean = acc_ref[0, :] / n  # [G]
+        var = acc_ref[1, :] / n - mean * mean
+        rstd = jax.lax.rsqrt(var + eps)
+        mean_c = jnp.repeat(mean, Cg)  # [C]
+        rstd_c = jnp.repeat(rstd, Cg)
+        out = (x - mean_c[None, :]) * rstd_c[None, :]
+        out = out * gamma_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
+        if silu:
+            out = out * jax.nn.sigmoid(out)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def group_norm_silu(x, gamma, beta, num_groups, eps=1e-5, silu=True,
+                    tile_rows=512, interpret=False):
+    """Fused GroupNorm+SiLU. x: [B,H,W,C] NHWC; gamma/beta: [C]."""
+    B, H, W, C = x.shape
+    G = num_groups
+    assert C % G == 0, (C, G)
+    S = H * W
+    x2 = x.reshape(B, S, C)
+
+    # pick a row tile that divides S and keeps the block in VMEM
+    tr = min(tile_rows, S)
+    while S % tr:
+        tr -= 1
+    n_tiles = S // tr
+
+    out = pl.pallas_call(
+        functools.partial(_gns_kernel, G=G, eps=eps, n_tiles=n_tiles, silu=silu),
+        grid=(B, 2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tr, C), lambda b, p, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b, p, t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b, p, t: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tr, C), lambda b, p, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, G), jnp.float32)],
+        interpret=interpret,
+    )(x2, gamma, beta)
+    return out.reshape(B, H, W, C)
+
+
+# --------------------------------------------------------------------------- #
+# Flash attention                                                              #
+# --------------------------------------------------------------------------- #
+
+
+def flash_attention_reference(q, k, v, scale=None):
+    """jnp reference (fp32 softmax). q/k/v: [B, H, N, D]."""
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale, kv_tiles):
+    """Grid (BH, q_tiles, kv_tiles): running-max blockwise softmax."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)  # [tq, D]
+    k = k_ref[0].astype(jnp.float32)  # [tk, D]
+    v = v_ref[0].astype(jnp.float32)
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [tq, tk]
+    m_prev = m_ref[...]  # [tq, 1]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_cur)
+    alpha = jnp.exp(m_prev - m_cur)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32)
+    m_ref[...] = m_cur
+
+    @pl.when(kv_idx == kv_tiles - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+
+
+def flash_attention(q, k, v, scale=None, q_tile=256, kv_tile=256, interpret=False):
+    """Blockwise attention. q/k/v: [B, H, N, D] (no mask — the UNet's spatial
+    self-attention is unmasked). Falls back to the reference path for ragged
+    shapes."""
+    B, Hh, N, D = q.shape
+    Nk = k.shape[2]
+    scale = D**-0.5 if scale is None else scale
+    tq = min(q_tile, N)
+    tk = min(kv_tile, Nk)
+    if N % tq or Nk % tk:
+        return flash_attention_reference(q, k, v, scale)
+    BH = B * Hh
+    qf = q.reshape(BH, N, D)
+    kf = k.reshape(BH, Nk, D)
+    vf = v.reshape(BH, Nk, D)
+    kv_tiles = Nk // tk
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_tiles=kv_tiles),
+        grid=(BH, N // tq, kv_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, D), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, Hh, N, D)

@@ -21,6 +21,22 @@ import numpy as np
 import yaml
 
 
+
+def _setup_jax_cache():
+    """Persistent XLA compilation cache: first compile (minutes on this
+    1-core host) is amortised across runs/sessions."""
+    import os
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True)
@@ -29,6 +45,7 @@ def main():
 
     import jax
 
+    _setup_jax_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
