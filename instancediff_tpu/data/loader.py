@@ -65,11 +65,15 @@ class DataLoader:
     def _batches(self):
         idx = self._indices()
         stop = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
+        fast = getattr(self.dataset, "batch_load", None)
         for s in range(0, stop, self.batch_size):
             chunk = idx[s : s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            yield collate([self.dataset[i] for i in chunk])
+            if fast is not None:
+                yield fast(chunk)
+            else:
+                yield collate([self.dataset[i] for i in chunk])
 
     def __iter__(self):
         if self.n_prefetch <= 0:

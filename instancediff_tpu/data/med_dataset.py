@@ -64,6 +64,44 @@ class SpeckleMedDataset:
     def __len__(self):
         return len(self.df)
 
+    def batch_load(self, indices):
+        """Native-path batch load: one parallel read of all A/B/emb files for
+        the batch with normalisation fused in C++ (data/native_io.py),
+        replacing per-sample __getitem__ + numpy collate. Output matches
+        ``loader.collate([self[i] for i in indices])``."""
+        from . import native_io
+
+        items = [self.df[i] for i in indices]
+        res = self.resolution
+        per_img = res * res
+        names = [it["name"] for it in items]
+        modes = [native_io.mode_for(n) for n in names]
+        a = native_io.read_batch([it["A"] for it in items], per_img, modes)
+        b = native_io.read_batch([it["B"] for it in items], per_img, modes)
+        embs = []
+        raw = native_io.MODES["raw"]
+        emb_paths = [it.get("A_emb") or it.get("emb_A") for it in items]
+        if all(emb_paths):
+            import os
+
+            sizes = {os.path.getsize(p) // 4 for p in emb_paths}
+            if len(sizes) == 1:
+                dim = sizes.pop()
+                embs = native_io.read_batch(emb_paths, dim, [raw] * len(items))
+                embs = embs.reshape(len(items), 1, dim)
+        if len(embs) == 0:
+            embs = np.zeros((len(items), 1, self.emb_dim), dtype=np.float32)
+        return {
+            "input": a.reshape(-1, res, res, 1),
+            "target": b.reshape(-1, res, res, 1),
+            "A_emb": np.asarray(embs, dtype=np.float32),
+            "type_idx": np.asarray(
+                [self.type_map_ind.get(n, 0) for n in names], dtype=np.int32),
+            "names": names,
+            "LQ_path": [it["A"] for it in items],
+            "GT_path": [it["B"] for it in items],
+        }
+
     def __getitem__(self, index):
         item = self.df[index]
         res = self.resolution

@@ -263,21 +263,47 @@ class CLIPDriftEngine:
     # training                                                            #
     # ------------------------------------------------------------------ #
 
+    def _net_io(self, x_t, mu, x0, drift, t):
+        """Per-optimize_type net input/target contracts (the reference's step
+        variants, drift_noise_model.py):
+          inputRes (:242-312, active): drift(x_t-mu, mu)->mu-x0;
+              noise(x_t-mu, x_t)->eps
+          predict_std_noise_acc_drift (:314): drift(x_t, x0+drift)->mu-x0;
+              noise(x_t, mu)->eps  [training-only: x0+drift unknown at test]
+          predict_std_noise_scale_drift (:350): drift(x_t, mu)->s_d[t](mu-x0);
+              noise(x_t, mu)->eps
+          predict_x0 (:386): drift(x_t, mu)->mu-x0; noise(x_t, mu)->x0
+        Returns (d_in, n_in, d_target, n_target) where *_in are (x_a, x_b)."""
+        ot = self.optimize_type
+        if ot == "inputRes" or ot in ("predict_noise", ""):
+            return ((x_t - mu, mu), (x_t - mu, x_t), mu - x0, None)
+        if ot == "predict_std_noise_acc_drift":
+            return ((x_t, x0 + drift), (x_t, mu), mu - x0, None)
+        if ot == "predict_std_noise_scale_drift":
+            sd = self.sde.drift_schedule[t].reshape(t.shape).astype(x_t.dtype)
+            return ((x_t, mu), (x_t, mu), sd * (mu - x0), None)
+        if ot == "predict_x0":
+            return ((x_t, mu), (x_t, mu), mu - x0, x0)
+        raise ValueError(f"unknown optimize_type '{ot}'")
+
     def _loss_terms(self, dparams, nparams, text_params, batch, t, x_t, std_noise):
         mu, x0 = batch["input"], batch["target"]
         ty = batch["type_idx"]
         img_ctx = batch.get("A_emb") if self.use_image_context else None
         text_fn = self._make_text_fn(text_params)
         tb = t.reshape(-1)
+        drift = self.sde.drift_schedule[t].astype(x_t.dtype) * (mu - x0)
+        d_in, n_in, d_target, n_target_x0 = self._net_io(x_t, mu, x0, drift, t)
+        n_target = std_noise if n_target_x0 is None else n_target_x0
 
         pred_drift, d_sms = self.drift_net.apply(
-            dparams, x_t - mu, mu, tb, ty, text_fn=text_fn, image_context=img_ctx
+            dparams, d_in[0], d_in[1], tb, ty, text_fn=text_fn, image_context=img_ctx
         )
         pred_noise, n_sms = self.noise_net.apply(
-            nparams, x_t - mu, x_t, tb, ty, text_fn=text_fn, image_context=img_ctx
+            nparams, n_in[0], n_in[1], tb, ty, text_fn=text_fn, image_context=img_ctx
         )
-        dloss = jnp.mean((pred_drift - (mu - x0)) ** 2)
-        nloss = jnp.mean((pred_noise - std_noise) ** 2)
+        dloss = jnp.mean((pred_drift - d_target) ** 2)
+        nloss = jnp.mean((pred_noise - n_target) ** 2)
 
         def sm_loss(sms, label):
             # optimize_score_map (drift_noise_model.py:234-240): pyramid L2 / 2
@@ -287,9 +313,12 @@ class CLIPDriftEngine:
             ]
             return sum(terms) / 2.0
 
-        dsml = sm_loss(d_sms, mu - x0) if (d_sms and self.use_dsm) else jnp.zeros(())
-        nsml = sm_loss(n_sms, std_noise) if (n_sms and self.use_nsm) else jnp.zeros(())
+        dsml = sm_loss(d_sms, d_target) if (d_sms and self.use_dsm) else jnp.zeros(())
+        nsml = sm_loss(n_sms, n_target) if (n_sms and self.use_nsm) else jnp.zeros(())
         loss = dloss + nloss + dsml + nsml
+        if self.optimize_type == "predict_x0":
+            return loss, {"l": loss, "dl": dloss, "x0l": nloss,
+                          "dsml": dsml, "x0sml": nsml}
         return loss, {"l": loss, "dl": dloss, "nl": nloss, "dsml": dsml, "nsml": nsml}
 
     def build_train_step(self, axis_name: Optional[str] = None):
@@ -382,6 +411,36 @@ class CLIPDriftEngine:
            convs see an effective 2B batch (better MXU utilisation at small
            batch) instead of two sequential forwards per step."""
         sde = self.sde
+        ot = self.optimize_type
+        if ot == "predict_std_noise_acc_drift":
+            raise ValueError(
+                "optimize_type 'predict_std_noise_acc_drift' conditions the "
+                "drift net on x0+drift, which is unavailable at sampling time "
+                "(training-only ablation; reference drift_noise_model.py:314)")
+
+        def net_inputs(x, mu):
+            """Sampling-time (x_a, x_b) per net for the current contract."""
+            if ot in ("inputRes", "predict_noise", ""):
+                return (x - mu, mu), (x - mu, x)
+            # scale_drift / predict_x0 condition both nets on (x_t, mu)
+            return (x, mu), (x, mu)
+
+        def to_drift_eps(x, t_b, pd_raw, pn_raw, mu):
+            """Map raw net outputs -> (full drift D_hat, eps_hat) for the
+            ancestral step."""
+            bshape = (-1,) + (1,) * (x.ndim - 1)
+            sd = sde.drift_schedule[t_b].reshape(bshape).astype(x.dtype)
+            sig = sde.sigmas[t_b].reshape(bshape).astype(x.dtype)
+            if ot in ("inputRes", "predict_noise", ""):
+                return pd_raw, pn_raw
+            if ot == "predict_std_noise_scale_drift":
+                d_full = pd_raw / jnp.maximum(sd, 1e-6)
+                return d_full, pn_raw
+            # predict_x0: noise net emits x0 directly
+            x0_hat = pn_raw
+            d_full = pd_raw
+            eps_hat = (x - x0_hat - sd * d_full) / jnp.maximum(sig, 1e-6)
+            return d_full, eps_hat
 
         def sample(dparams, nparams, text_params, mu, type_idx, A_emb, key):
             text_fn = self._make_text_fn(text_params)
@@ -401,23 +460,26 @@ class CLIPDriftEngine:
                     )
                     return pred
 
-                vnet = jax.vmap(one_net, in_axes=(0, 0, 0, None, None))
+                vnet = jax.vmap(one_net, in_axes=(0, 0, 0, 0, None))
 
                 def predict(x, t_b):
-                    x_b = jnp.stack([mu, x])  # drift sees mu, noise sees x_t
-                    preds = vnet(stacked, x_b, stacked_text, x - mu, t_b)
-                    return preds[0], preds[1]
+                    d_in, n_in = net_inputs(x, mu)
+                    x_a = jnp.stack([d_in[0], n_in[0]])
+                    x_b = jnp.stack([d_in[1], n_in[1]])
+                    preds = vnet(stacked, x_b, stacked_text, x_a, t_b)
+                    return to_drift_eps(x, t_b, preds[0], preds[1], mu)
             else:
                 def predict(x, t_b):
+                    d_in, n_in = net_inputs(x, mu)
                     pd, _ = self.drift_net.apply(
-                        dparams, x - mu, mu, t_b, type_idx,
+                        dparams, d_in[0], d_in[1], t_b, type_idx,
                         text_embs=d_text, image_context=img_ctx,
                     )
                     pn, _ = self.noise_net.apply(
-                        nparams, x - mu, x, t_b, type_idx,
+                        nparams, n_in[0], n_in[1], t_b, type_idx,
                         text_embs=n_text, image_context=img_ctx,
                     )
-                    return pd, pn
+                    return to_drift_eps(x, t_b, pd, pn, mu)
 
             return sde.reverse_ddpm(key, mu, predict, eta=eta, noise_init=noise_init)
 
@@ -449,14 +511,18 @@ class CLIPDriftEngine:
     # ------------------------------------------------------------------ #
 
     def reinit_loss_message(self):
-        keys = ("l", "dl", "nl", "dsml", "nsml")
+        # key sets per optimize_type (reference :197-229)
+        if self.optimize_type == "predict_x0":
+            keys = ("l", "dl", "x0l", "dsml", "x0sml")
+        else:
+            keys = ("l", "dl", "nl", "dsml", "nsml")
         self.loss_info = {"latest": {k: 0.0 for k in keys},
                           "avg": {k: 0.0 for k in keys}, "num": 0}
 
     def _record_losses(self, metrics):
         for k, v in metrics.items():
             self.loss_info["latest"][k] = v
-            self.loss_info["avg"][k] += v
+            self.loss_info["avg"][k] = self.loss_info["avg"].get(k, 0.0) + v
         self.loss_info["num"] += 1
 
     def get_loss_message(self):
