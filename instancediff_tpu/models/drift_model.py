@@ -238,6 +238,17 @@ class CLIPDriftEngine:
         self.reinit_loss_message()
         self._train_step = None
         self._sample_fn = None
+        self.image_tower = None
+        self.image_tower_params = None
+
+    def attach_image_tower(self, tower, params):
+        """Attach a CLIP image tower so ``emb_A`` is computed ON DEVICE inside
+        the jitted sampler (hoisted before the scan) instead of being read
+        from precomputed files (BASELINE.json: on-device emb_A; replaces the
+        MedSpeckle.py:46 file channel)."""
+        self.image_tower = tower
+        self.image_tower_params = params
+        self._sample_fn = None
 
     # ------------------------------------------------------------------ #
     # text closure                                                        #
@@ -253,6 +264,15 @@ class CLIPDriftEngine:
             def text_fn(ctx):
                 return self.text_encoder.apply(text_params, self.prompt_ids, ctx)
         return text_fn
+
+    def _prompt_embs_nocontext(self, text_params):
+        """Frozen-tower embeddings of the 5 prompts with no learnable context
+        — the degradation-context channel (use_degra_context; DA-CLIP-style
+        prompt conditioning, drift_noise_model.py:58-61 flags)."""
+        if self.clip_type == "BiomedCLIP":
+            return self.text_encoder.apply(
+                text_params, self.prompt_ids, self.prompt_mask, None)
+        return self.text_encoder.apply(text_params, self.prompt_ids, None)
 
     def set_sde(self, sde: DriftSDE):
         self.sde = sde
@@ -296,11 +316,17 @@ class CLIPDriftEngine:
         d_in, n_in, d_target, n_target_x0 = self._net_io(x_t, mu, x0, drift, t)
         n_target = std_noise if n_target_x0 is None else n_target_x0
 
+        degra_ctx = None
+        if self.use_degra_context:
+            degra_ctx = self._prompt_embs_nocontext(text_params)[ty][:, None, :]
+
         pred_drift, d_sms = self.drift_net.apply(
-            dparams, d_in[0], d_in[1], tb, ty, text_fn=text_fn, image_context=img_ctx
+            dparams, d_in[0], d_in[1], tb, ty, text_fn=text_fn,
+            image_context=img_ctx, degra_context=degra_ctx,
         )
         pred_noise, n_sms = self.noise_net.apply(
-            nparams, n_in[0], n_in[1], tb, ty, text_fn=text_fn, image_context=img_ctx
+            nparams, n_in[0], n_in[1], tb, ty, text_fn=text_fn,
+            image_context=img_ctx, degra_context=degra_ctx,
         )
         dloss = jnp.mean((pred_drift - d_target) ** 2)
         nloss = jnp.mean((pred_noise - n_target) ** 2)
@@ -442,11 +468,27 @@ class CLIPDriftEngine:
             eps_hat = (x - x0_hat - sd * d_full) / jnp.maximum(sig, 1e-6)
             return d_full, eps_hat
 
+        tower = self.image_tower
+        tower_params = self.image_tower_params
+
         def sample(dparams, nparams, text_params, mu, type_idx, A_emb, key):
             text_fn = self._make_text_fn(text_params)
             d_text = [text_fn(c) for c in self._smm_contexts(dparams)]
             n_text = [text_fn(c) for c in self._smm_contexts(nparams)]
-            img_ctx = A_emb if self.use_image_context else None
+            if self.use_image_context and tower is not None:
+                # on-device emb_A: one ViT forward per sample call, outside
+                # the 100-step scan
+                emb = tower.apply(tower_params, mu)
+                emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-8)
+                img_ctx = emb[:, None, :]
+            elif self.use_image_context:
+                img_ctx = A_emb
+            else:
+                img_ctx = None
+            degra_ctx = None
+            if self.use_degra_context:
+                degra_ctx = self._prompt_embs_nocontext(
+                    text_params)[type_idx][:, None, :]
 
             if fuse_dual:
                 stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),
@@ -457,6 +499,7 @@ class CLIPDriftEngine:
                     pred, _ = self.drift_net.apply(
                         params, x_a, x_b, t_b, type_idx,
                         text_embs=list(text_embs), image_context=img_ctx,
+                        degra_context=degra_ctx,
                     )
                     return pred
 
@@ -474,10 +517,12 @@ class CLIPDriftEngine:
                     pd, _ = self.drift_net.apply(
                         dparams, d_in[0], d_in[1], t_b, type_idx,
                         text_embs=d_text, image_context=img_ctx,
+                        degra_context=degra_ctx,
                     )
                     pn, _ = self.noise_net.apply(
                         nparams, n_in[0], n_in[1], t_b, type_idx,
                         text_embs=n_text, image_context=img_ctx,
+                        degra_context=degra_ctx,
                     )
                     return to_drift_eps(x, t_b, pd, pn, mu)
 

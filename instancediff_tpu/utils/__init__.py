@@ -6,6 +6,7 @@ from .file_utils import (
     set_random_seed,
     setup_logger,
     store_files,
+    ProgressBar,
 )
 from .img_utils import tensor2img, img2tensor, save_img, save_raw, load_raw
 from .metrics import calculate_psnr, calculate_ssim, calculate_rmse
@@ -18,6 +19,7 @@ __all__ = [
     "set_random_seed",
     "setup_logger",
     "store_files",
+    "ProgressBar",
     "tensor2img",
     "img2tensor",
     "save_img",

@@ -70,6 +70,52 @@ def setup_logger(logger_name, root, phase, level=logging.INFO, screen=False, tof
     return lg
 
 
+class ProgressBar:
+    """Console progress bar (reference file_utils.py:94-160 parity): renders
+    a fixed-width bar with fps and elapsed time, falling back to a counter
+    when the task count is unknown."""
+
+    def __init__(self, task_num=0, bar_width=50, start=True):
+        self.task_num = task_num
+        self.bar_width = max(2, min(bar_width, 50))
+        self.completed = 0
+        if start:
+            self.start()
+
+    def start(self):
+        import time as _time
+
+        if self.task_num > 0:
+            sys.stdout.write(
+                f"[{' ' * self.bar_width}] 0/{self.task_num}, elapsed: 0s, ETA:\n")
+        else:
+            sys.stdout.write("completed: 0, elapsed: 0s")
+        sys.stdout.flush()
+        self.start_time = _time.time()
+
+    def update(self, msg="In progress..."):
+        import time as _time
+
+        self.completed += 1
+        elapsed = max(_time.time() - self.start_time, 1e-9)
+        fps = self.completed / elapsed
+        if self.task_num > 0:
+            percentage = self.completed / float(self.task_num)
+            eta = int(elapsed * (1 - percentage) / max(percentage, 1e-9) + 0.5)
+            mark_width = int(self.bar_width * percentage)
+            bar = ">" * mark_width + "-" * (self.bar_width - mark_width)
+            sys.stdout.write("\033[2F\033[J")
+            sys.stdout.write(
+                f"[{bar}] {self.completed}/{self.task_num}, "
+                f"{fps:.1f} task/s, elapsed: {int(elapsed + 0.5)}s, "
+                f"ETA: {eta:5}s\n{msg}\n")
+        else:
+            sys.stdout.write(
+                f"completed: {self.completed}, elapsed: {int(elapsed + 0.5)}s,"
+                f" {fps:.1f} tasks/s")
+        sys.stdout.flush()
+
+
 def store_files(opt, dst_dir):
     """Snapshot the config-listed source files into the experiment dir for
     reproducibility (reference trainUM.py:37-48)."""

@@ -73,10 +73,12 @@ def main():
 
     # build test loaders per dataset entry (reference :58-67)
     loaders = []
+    test_batch = int(test_opt.get("batch_size") or 1)
     for phase, dataset_opt in (opt["datasets"] or {}).items():
         if not phase.startswith("test") and not phase.startswith("val"):
             continue
         dataset_opt["phase"] = "test"
+        dataset_opt["batch_size"] = test_batch
         ds = data_pkg.create_dataset(dataset_opt)
         loaders.append((phase, data_pkg.create_dataloader(ds, dataset_opt)))
     assert loaders, "no test/val dataset entries in config"
@@ -95,6 +97,20 @@ def main():
     sde = create_sde(opt["sdes"][which_sde])
     model.set_sde(sde)
 
+    # on-device emb_A (BASELINE config 3): attach a CLIP image tower so the
+    # sampler embeds the degraded input itself instead of reading files
+    if test_opt.get("on_device_emb"):
+        from instancediff_tpu.models.clip_vit import build_image_tower
+
+        tower = build_image_tower(
+            embed_dim=model.context_dim,
+            tiny=bool(model_opt.get("tiny_text_encoder")))
+        tparams = jax.jit(
+            lambda k: tower.init(k, jnp.zeros(
+                (1, opt.get("resolution") or 224, opt.get("resolution") or 224, 1)))
+        )(jax.random.key(7))
+        model.attach_image_tower(tower, tparams)
+
     artifact_types = opt.get("artifact_type") or []
     test_results = {
         name: {"RMSE": [], "SSIM": [], "PSNR": [], "time": [], "num": 0}
@@ -103,11 +119,9 @@ def main():
 
     for phase, loader in loaders:
         for i, batch in enumerate(loader):
-            name = batch["names"][0]
-            if artifact_types and name not in artifact_types:
+            if artifact_types and not any(
+                    n in artifact_types for n in batch["names"]):
                 continue
-            bucket = test_results.get(name) or test_results.setdefault(
-                name, {"RMSE": [], "SSIM": [], "PSNR": [], "time": [], "num": 0})
             device_batch = {
                 "input": jnp.asarray(batch["input"]),
                 "target": jnp.asarray(batch["target"]),
@@ -119,22 +133,31 @@ def main():
                               use_ema=use_ema)
             pred = np.asarray(jax.block_until_ready(pred))
             toc = time.time()
+            per_sample_t = (toc - tic) / len(batch["names"])
 
-            m = eval_restoration(pred[0, ..., 0], batch["target"][0, ..., 0])
-            bucket["RMSE"].append(m["RMSE"])
-            bucket["SSIM"].append(m["SSIM"])
-            bucket["PSNR"].append(m["PSNR"])
-            bucket["time"].append(toc - tic)
-            bucket["num"] += 1
+            for j, name in enumerate(batch["names"]):
+                if artifact_types and name not in artifact_types:
+                    continue
+                bucket = test_results.setdefault(
+                    name, {"RMSE": [], "SSIM": [], "PSNR": [], "time": [],
+                           "num": 0})
+                m = eval_restoration(pred[j, ..., 0], batch["target"][j, ..., 0])
+                bucket["RMSE"].append(m["RMSE"])
+                bucket["SSIM"].append(m["SSIM"])
+                bucket["PSNR"].append(m["PSNR"])
+                bucket["time"].append(per_sample_t)
+                bucket["num"] += 1
 
-            to_save = np.concatenate(
-                [batch["input"][0, ..., 0], pred[0, ..., 0], batch["target"][0, ..., 0]],
-                axis=-1)
-            save_dir = osp.join(result_root, name)
-            save_raw(to_save, osp.join(
-                save_dir, f"{i}_{to_save.shape[-1]}x{to_save.shape[-2]}x1.raw"))
-            print(f"\n Testing {i}, {batch['GT_path'][0]}: RMSE={m['RMSE']}, "
-                  f"SSIM={m['SSIM']}, PSNR={m['PSNR']} ({toc - tic:.2f}s)")
+                to_save = np.concatenate(
+                    [batch["input"][j, ..., 0], pred[j, ..., 0],
+                     batch["target"][j, ..., 0]], axis=-1)
+                save_dir = osp.join(result_root, name)
+                save_raw(to_save, osp.join(
+                    save_dir,
+                    f"{i}_{j}_{to_save.shape[-1]}x{to_save.shape[-2]}x1.raw"))
+                print(f"\n Testing {i}.{j}, {batch['GT_path'][j]}: "
+                      f"RMSE={m['RMSE']}, SSIM={m['SSIM']}, PSNR={m['PSNR']} "
+                      f"({per_sample_t:.2f}s)")
 
     for name, v in test_results.items():
         if v["num"] == 0:

@@ -146,6 +146,28 @@ def main():
     val_freq = train_opt.get("val_freq") or 10**9
     max_val = 10  # reference caps inline validation at <=10 samples
 
+    # preemption-aware checkpointing (SURVEY.md SS5.3): on SIGTERM/SIGINT the
+    # loop finishes the current step, saves weights+state, and exits cleanly
+    # so path.resume_state restarts from the same point.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+        logger.warning("signal %d received - checkpointing before exit", signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except (ValueError, OSError):
+            pass  # non-main thread (e.g. under pytest)
+
+    def preempt_save(epoch, current_iter):
+        model.save(opt["path"]["models"], current_iter)
+        model.save_training_state(opt["path"]["training_state"], epoch, current_iter)
+        logger.info("preemption checkpoint saved at iter %d", current_iter)
+
     current_iter = resume_iter
     for epoch in range(resume_epoch, nepoch):
         train_loader.set_epoch(epoch)
@@ -173,6 +195,10 @@ def main():
                 model.save(opt["path"]["models"], current_iter)
                 model.save_training_state(opt["path"]["training_state"], epoch, current_iter)
                 logger.info("checkpoint saved at iter %d", current_iter)
+
+            if preempted["flag"]:
+                preempt_save(epoch, current_iter)
+                return
 
             if val_loader is not None and current_iter % val_freq == 0:
                 metrics = {"PSNR": [], "SSIM": [], "RMSE": []}
