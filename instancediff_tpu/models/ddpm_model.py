@@ -117,12 +117,14 @@ class CLIPDDPMEngine:
             x_a=jnp.zeros((1, H, H, 1)), x_b=jnp.zeros((1, H, H, 1)),
             t=jnp.zeros((1,), jnp.int32), ty=jnp.zeros((1,), jnp.int32),
             img=jnp.zeros((1, 1, self.context_dim)) if use_image_context else None,
+            deg=jnp.zeros((1, 1, self.context_dim)) if use_degra_context else None,
         )
         text_fn = self._make_text_fn(self.text_params)
         self.noise_params = jax.jit(
             lambda kk: self.noise_net.init(
                 kk, probe["x_a"], probe["x_b"], probe["t"], probe["ty"],
-                text_fn=text_fn, image_context=probe["img"]))(k_n)
+                text_fn=text_fn, image_context=probe["img"],
+                degra_context=probe["deg"]))(k_n)
 
         self.if_train = if_train
         if if_train:

@@ -197,6 +197,7 @@ class CLIPDriftEngine:
             t=jnp.zeros((B,), jnp.int32),
             ty=jnp.zeros((B,), jnp.int32),
             img=jnp.zeros((B, 1, self.context_dim)) if use_image_context else None,
+            deg=jnp.zeros((B, 1, self.context_dim)) if use_degra_context else None,
         )
         text_fn = self._make_text_fn(self.text_params)
 
@@ -207,6 +208,7 @@ class CLIPDriftEngine:
                 lambda kk: net.init(
                     kk, probe["x_a"], probe["x_b"], probe["t"], probe["ty"],
                     text_fn=text_fn, image_context=probe["img"],
+                    degra_context=probe["deg"],
                 )
             )(k)
 

@@ -103,3 +103,58 @@ def eval_restoration(pred, target):
         "SSIM": calculate_ssim(pred01, target01),
         "PSNR": calculate_psnr(pred01, target01, data_range=1.0),
     }
+
+
+# --------------------------------------------------------------------------- #
+# On-device (jnp) variants — same semantics, usable inside jitted val loops    #
+# --------------------------------------------------------------------------- #
+
+
+def _gaussian_kernel1d(sigma=1.5, truncate=3.5):
+    import numpy as _np
+
+    radius = int(truncate * sigma + 0.5)
+    x = _np.arange(-radius, radius + 1, dtype=_np.float64)
+    k = _np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(_np.float32)
+
+
+def psnr_jnp(pred, target, data_range=1.0):
+    import jax.numpy as jnp
+
+    mse = jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+    return 10.0 * jnp.log10((data_range**2) / jnp.maximum(mse, 1e-12))
+
+
+def ssim_jnp(pred, target, data_range=1.0, sigma=1.5, K1=0.01, K2=0.03,
+             win_size=11):
+    """Jittable SSIM matching :func:`calculate_ssim` (population covariance,
+    gaussian weights, border crop). pred/target: [H, W]."""
+    import jax
+    import jax.numpy as jnp
+
+    im1 = pred.astype(jnp.float32)[None, :, :, None]
+    im2 = target.astype(jnp.float32)[None, :, :, None]
+    k = jnp.asarray(_gaussian_kernel1d(sigma))
+    kh = k.reshape(1, -1, 1, 1)
+    kw = k.reshape(-1, 1, 1, 1)
+
+    def filt(x):
+        # separable 'same' gaussian; borders are cropped below so the
+        # boundary extension mode is irrelevant
+        x = jax.lax.conv_general_dilated(x, kw, (1, 1), "SAME",
+                                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME",
+                                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return x
+
+    ux, uy = filt(im1), filt(im2)
+    uxx, uyy, uxy = filt(im1 * im1), filt(im2 * im2), filt(im1 * im2)
+    vx = uxx - ux * ux
+    vy = uyy - uy * uy
+    vxy = uxy - ux * uy
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / ((ux**2 + uy**2 + C1) * (vx + vy + C2))
+    pad = (win_size - 1) // 2
+    return jnp.mean(S[0, pad:-pad, pad:-pad, 0])

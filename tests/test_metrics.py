@@ -67,3 +67,20 @@ def test_eval_restoration_rescales():
     out = eval_restoration(pred, gt)
     assert out["RMSE"] == pytest.approx(1.0)
     assert out["PSNR"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_jnp_metrics_match_numpy():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from instancediff_tpu.utils.metrics import psnr_jnp, ssim_jnp
+
+    rng = np.random.default_rng(5)
+    a = rng.random((48, 48))
+    b = np.clip(a + 0.05 * rng.standard_normal(a.shape), 0, 1)
+    assert float(psnr_jnp(jnp.asarray(a), jnp.asarray(b))) == pytest.approx(
+        calculate_psnr(a, b), abs=1e-3)
+    assert float(ssim_jnp(jnp.asarray(a), jnp.asarray(b))) == pytest.approx(
+        calculate_ssim(a, b), abs=2e-4)
