@@ -224,7 +224,9 @@ class CLIPDDPMEngine:
 
         return sample
 
-    def test(self, batch, key=None, use_ema=True):
+    def test(self, batch, key=None, use_ema=True, sample_steps=None):
+        # sample_steps accepted for driver-API parity; the cosine-alpha DDPM
+        # sampler currently runs its full T steps
         if self._sample_fn is None:
             self._sample_fn = jax.jit(self.build_sample_fn())
         key = jax.random.key(0) if key is None else key

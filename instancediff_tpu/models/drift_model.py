@@ -240,6 +240,7 @@ class CLIPDriftEngine:
         self.reinit_loss_message()
         self._train_step = None
         self._sample_fn = None
+        self._sample_steps = None
         self.image_tower = None
         self.image_tower_params = None
 
@@ -425,7 +426,8 @@ class CLIPDriftEngine:
         return [inner[f"smm_{i}"]["context"] for i in range(self.n_scales)
                 if f"smm_{i}" in inner]
 
-    def build_sample_fn(self, eta=None, noise_init=True, fuse_dual=True):
+    def build_sample_fn(self, eta=None, noise_init=True, fuse_dual=True,
+                        sample_steps=None):
         """Pure jittable sampler: ``sample(dparams, nparams, text_params, mu,
         type_idx, A_emb, key) -> x0_hat``. Two TPU-first structural wins over
         the reference sampler (drift_noise_model.py:650):
@@ -472,6 +474,17 @@ class CLIPDriftEngine:
 
         tower = self.image_tower
         tower_params = self.image_tower_params
+        # Optional fused Pallas GroupNorm+SiLU in the inference graph (same
+        # param tree; FusedGroupNormSiLU backends are value-identical).
+        # Default OFF: XLA fuses the GN chain well inside the large sampler
+        # graph; the standalone kernel costs extra Mosaic compile time and
+        # wins nothing at these shapes (measured on v5e).
+        use_pallas = getattr(self, "pallas_gn", False) and jax.default_backend() == "tpu"
+        sample_net = (self.drift_net.clone(use_pallas_gn=True)
+                      if use_pallas else self.drift_net)
+        plain_drift_net = sample_net
+        plain_noise_net = (self.noise_net.clone(use_pallas_gn=True)
+                           if use_pallas else self.noise_net)
 
         def sample(dparams, nparams, text_params, mu, type_idx, A_emb, key):
             text_fn = self._make_text_fn(text_params)
@@ -498,7 +511,7 @@ class CLIPDriftEngine:
                 stacked_text = [jnp.stack([d, n]) for d, n in zip(d_text, n_text)]
 
                 def one_net(params, x_b, text_embs, x_a, t_b):
-                    pred, _ = self.drift_net.apply(
+                    pred, _ = sample_net.apply(
                         params, x_a, x_b, t_b, type_idx,
                         text_embs=list(text_embs), image_context=img_ctx,
                         degra_context=degra_ctx,
@@ -516,27 +529,31 @@ class CLIPDriftEngine:
             else:
                 def predict(x, t_b):
                     d_in, n_in = net_inputs(x, mu)
-                    pd, _ = self.drift_net.apply(
+                    pd, _ = plain_drift_net.apply(
                         dparams, d_in[0], d_in[1], t_b, type_idx,
                         text_embs=d_text, image_context=img_ctx,
                         degra_context=degra_ctx,
                     )
-                    pn, _ = self.noise_net.apply(
+                    pn, _ = plain_noise_net.apply(
                         nparams, n_in[0], n_in[1], t_b, type_idx,
                         text_embs=n_text, image_context=img_ctx,
                         degra_context=degra_ctx,
                     )
                     return to_drift_eps(x, t_b, pd, pn, mu)
 
-            return sde.reverse_ddpm(key, mu, predict, eta=eta, noise_init=noise_init)
+            return sde.reverse_ddpm(key, mu, predict, eta=eta,
+                                    noise_init=noise_init,
+                                    sample_steps=sample_steps)
 
         return sample
 
-    def test(self, batch, key=None, use_ema=True):
+    def test(self, batch, key=None, use_ema=True, sample_steps=None):
         """Restore a batch (reference model.test -> sde.reverse_ddpm,
-        drift_noise_model.py:648-652). Returns [B,H,W,1] in [-1,1]."""
-        if self._sample_fn is None:
-            self._sample_fn = jax.jit(self.build_sample_fn())
+        drift_noise_model.py:648-652). Returns [B,H,W,1] in [-1,1].
+        ``sample_steps`` < T enables strided fast sampling."""
+        if self._sample_fn is None or sample_steps != self._sample_steps:
+            self._sample_steps = sample_steps
+            self._sample_fn = jax.jit(self.build_sample_fn(sample_steps=sample_steps))
         key = jax.random.key(0) if key is None else key
         dparams = self.state["d_ema"] if use_ema else self.state["drift"]
         nparams = self.state["n_ema"] if use_ema else self.state["noise"]

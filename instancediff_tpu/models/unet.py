@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
+from ..ops.pallas_kernels import group_norm_silu, group_norm_silu_reference
 from .scoremap import ScoreMapModule
 
 
@@ -55,6 +56,26 @@ def _gn_groups(c):
     return g
 
 
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm + SiLU with a static backend switch: the differentiable jnp
+    reference (training) or the fused Pallas kernel (sampling on TPU) — both
+    share the same parameter names so one param tree serves both instances."""
+
+    num_groups: int
+    use_pallas: bool = False
+    silu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        if self.use_pallas:
+            return group_norm_silu(x, scale, bias, self.num_groups, silu=self.silu)
+        return group_norm_silu_reference(x, scale, bias, self.num_groups,
+                                         silu=self.silu)
+
+
 class ContextCrossAttention(nn.Module):
     """Cross-attention from spatial features to context tokens (the
     image-context injection in each conv block, drift_noise_model.py:250-268;
@@ -68,6 +89,16 @@ class ContextCrossAttention(nn.Module):
     @nn.compact
     def __call__(self, h, context):
         B, H, W, C = h.shape
+        if context.shape[1] == 1:
+            # exact shortcut: with a single KV token the softmax over one key
+            # is identically 1, so attention output == V for every query —
+            # the q-projection and the full-resolution LayerNorm/attention are
+            # mathematically dead. Reduces to a broadcast channel bias
+            # (~24% of UNet forward time at 256px before this).
+            v = nn.Dense(C, dtype=self.dtype, name="v")(context)  # [B,1,C]
+            out = nn.Dense(C, dtype=self.dtype,
+                           kernel_init=nn.initializers.zeros, name="out")(v)
+            return h + out[:, None]  # broadcast [B,1,1,C] over H,W
         x = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="q")(nn.LayerNorm(dtype=jnp.float32)(x))
         k = nn.Dense(C, dtype=self.dtype, name="k")(context)
@@ -85,22 +116,23 @@ class ResBlock(nn.Module):
     out_ch: int
     use_context: bool = False
     context_dim: int = 512
+    use_pallas_gn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h, temb, context=None):
         in_ch = h.shape[-1]
-        x = nn.GroupNorm(num_groups=_gn_groups(in_ch), dtype=jnp.float32)(h)
-        x = nn.silu(x)
-        x = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv1")(x)
+        x = FusedGroupNormSiLU(_gn_groups(in_ch), use_pallas=self.use_pallas_gn,
+                               name="gns1")(h)
+        x = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv1")(x.astype(self.dtype))
         x = x + nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(nn.silu(temb))[
             :, None, None
         ]
-        x = nn.GroupNorm(num_groups=_gn_groups(self.out_ch), dtype=jnp.float32)(x)
-        x = nn.silu(x)
+        x = FusedGroupNormSiLU(_gn_groups(self.out_ch), use_pallas=self.use_pallas_gn,
+                               name="gns2")(x)
         x = nn.Conv(
             self.out_ch, (3, 3), dtype=self.dtype, kernel_init=nn.initializers.zeros, name="conv2"
-        )(x)
+        )(x.astype(self.dtype))
         if in_ch != self.out_ch:
             h = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="skip")(h)
         h = h + x
@@ -155,6 +187,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
     use_degra_context: bool = False
     token_embed_dim: int = 512
     num_res_blocks: int = 2
+    use_pallas_gn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -171,6 +204,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         self.nf * mult,
                         use_context=self.use_image_context or self.use_degra_context,
                         context_dim=self.context_dim,
+                        use_pallas_gn=self.use_pallas_gn,
                         dtype=self.dtype,
                         name=f"enc_{i}_{j}",
                     )
@@ -184,10 +218,14 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
 
         mid_ch = self.nf * self.ch_mult[-1]
         self.mid1 = ResBlock(mid_ch, use_context=self.use_image_context,
-                             context_dim=self.context_dim, dtype=self.dtype, name="mid1")
+                             context_dim=self.context_dim,
+                             use_pallas_gn=self.use_pallas_gn,
+                             dtype=self.dtype, name="mid1")
         self.mid_attn = SelfAttention2D(dtype=self.dtype, name="mid_attn")
         self.mid2 = ResBlock(mid_ch, use_context=self.use_image_context,
-                             context_dim=self.context_dim, dtype=self.dtype, name="mid2")
+                             context_dim=self.context_dim,
+                             use_pallas_gn=self.use_pallas_gn,
+                             dtype=self.dtype, name="mid2")
 
         if self.text_module == "scoremap":
             if self.if_MultiScoreMap:
@@ -224,6 +262,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         self.nf * mult,
                         use_context=self.use_image_context or self.use_degra_context,
                         context_dim=self.context_dim,
+                        use_pallas_gn=self.use_pallas_gn,
                         dtype=self.dtype,
                         name=f"dec_{i}_{j}",
                     )
@@ -234,7 +273,9 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                              dtype=self.dtype, name=f"up_{i}")
             for i in range(n_levels - 1)
         ]
-        self.norm_out = nn.GroupNorm(num_groups=_gn_groups(self.nf), dtype=jnp.float32)
+        self.norm_out = FusedGroupNormSiLU(_gn_groups(self.nf),
+                                           use_pallas=self.use_pallas_gn,
+                                           name="norm_out")
         self.conv_out = nn.Conv(
             self.out_nc, (3, 3), dtype=self.dtype, kernel_init=nn.initializers.zeros,
             name="conv_out"
@@ -310,8 +351,8 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
             if i > 0:
                 h = self.up[i - 1](h)
 
-        h = nn.silu(self.norm_out(h))
-        out = self.conv_out(h)  # [B,H,W,out_nc]
+        h = self.norm_out(h)  # fused GN+SiLU
+        out = self.conv_out(h.astype(self.dtype))  # [B,H,W,out_nc]
         if self.out_nc > 1:
             pred = jnp.take_along_axis(
                 out, type_idx.reshape(B, 1, 1, 1).astype(jnp.int32), axis=-1

@@ -130,7 +130,8 @@ def main():
             }
             tic = time.time()
             pred = model.test(device_batch, jax.random.fold_in(root_key, i),
-                              use_ema=use_ema)
+                              use_ema=use_ema,
+                              sample_steps=test_opt.get("sample_steps"))
             pred = np.asarray(jax.block_until_ready(pred))
             toc = time.time()
             per_sample_t = (toc - tic) / len(batch["names"])

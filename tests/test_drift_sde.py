@@ -152,3 +152,21 @@ def test_irsde_oracle_reverse_sde():
     out = sde.reverse_sde(jax.random.key(9), mu, oracle_noise, stochastic=False)
     err = float(jnp.mean(jnp.abs(out - x0)))
     assert err < 0.05  # ODE-style reverse with oracle score converges near x0
+
+
+@pytest.mark.parametrize("steps", [5, 10])
+def test_strided_sampling_oracle(steps):
+    """Fast sampling over a strided timestep subset still recovers x0 with
+    oracle predictions (exact per-pair posterior)."""
+    sde = DriftSDE(T=50, max_sigma=0.4)
+    x0, mu = _toy_batch(jax.random.key(11), B=1)
+    D = mu - x0
+
+    def oracle(x_t, t_b):
+        sd = sde.drift_schedule[t_b].reshape(-1, 1, 1, 1)
+        sig = sde.sigmas[t_b].reshape(-1, 1, 1, 1)
+        eps = (x_t - x0 - sd * D) / jnp.maximum(sig, 1e-12)
+        return D, eps
+
+    out = sde.reverse_ddpm(jax.random.key(12), mu, oracle, sample_steps=steps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)

@@ -72,3 +72,19 @@ def test_flash_attention_bf16_stable():
     ref_err = float(jnp.max(jnp.abs(ref_bf16 - truth)))
     assert kernel_err < 5e-2
     assert kernel_err <= ref_err
+
+
+def test_fused_gn_module_backend_equivalence():
+    """FusedGroupNormSiLU: one param tree must drive both backends with
+    identical values (the sampler swaps backends via Module.clone)."""
+    import jax
+
+    from instancediff_tpu.models.unet import FusedGroupNormSiLU
+
+    x = jax.random.normal(jax.random.key(0), (2, 4, 4, 8)) + 0.3
+    ref_mod = FusedGroupNormSiLU(4, use_pallas=False)
+    params = ref_mod.init(jax.random.key(1), x)
+    out_ref = ref_mod.apply(params, x)
+    out_pallas = FusedGroupNormSiLU(4, use_pallas=True).apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_ref),
+                               atol=2e-5, rtol=2e-5)
