@@ -193,3 +193,92 @@ def build_text_encoder(clip_type: str, embed_dim: int = 512, dtype=jnp.float32,
                                      vocab_size=512, context_length=16, dtype=dtype)
         return mod, 48, "clip"
     return CLIPTextContextEncoder(embed_dim=embed_dim, dtype=dtype), 512, "clip"
+
+
+def load_torch_bert_weights(params, checkpoint_path_or_sd, prefix="text."):
+    """Convert a torch BiomedCLIP/HF BERT state dict into the
+    HFContextTextEncoder param tree (the reference loads ``text.*`` keys from
+    ``open_clip_pytorch_model.bin`` via init_weights,
+    _modified_BiomedCLIP.py:942-948; weights unreleased upstream — this hook
+    activates when the asset exists). Accepts a path or an in-memory state
+    dict (for tests). Returns the updated param tree."""
+    import os
+
+    if isinstance(checkpoint_path_or_sd, (str, os.PathLike)):
+        if not os.path.isfile(checkpoint_path_or_sd):
+            raise FileNotFoundError(checkpoint_path_or_sd)
+        import torch
+
+        sd = torch.load(checkpoint_path_or_sd, map_location="cpu")
+    else:
+        sd = checkpoint_path_or_sd
+
+    def to_np(t):
+        import numpy as _np
+
+        if hasattr(t, "detach"):
+            return jnp.asarray(t.detach().cpu().float().numpy())
+        return jnp.asarray(_np.asarray(t, dtype=_np.float32))
+
+    new = jax.tree.map(lambda x: x, params)
+    inner = new["params"]
+    P = prefix + "transformer."  # open_clip HFTextEncoder namespace
+
+    def get(*names):
+        for n in names:
+            if n in sd:
+                return sd[n]
+        return None
+
+    emb = get(P + "embeddings.word_embeddings.weight")
+    if emb is not None:
+        inner["word_embeddings"]["embedding"] = to_np(emb)
+    pos = get(P + "embeddings.position_embeddings.weight")
+    if pos is not None:
+        inner["position_embeddings"] = to_np(pos)
+    tt = get(P + "embeddings.token_type_embeddings.weight")
+    if tt is not None:
+        inner["token_type_embeddings"] = to_np(tt)
+    ln = get(P + "embeddings.LayerNorm.weight")
+    if ln is not None:
+        inner["embeddings_ln"]["scale"] = to_np(ln)
+        inner["embeddings_ln"]["bias"] = to_np(sd[P + "embeddings.LayerNorm.bias"])
+
+    i = 0
+    while f"layer_{i}" in inner:
+        L = P + f"encoder.layer.{i}."
+        blk = inner[f"layer_{i}"]
+        for hf, ours in (("attention.self.query", "q_proj"),
+                         ("attention.self.key", "k_proj"),
+                         ("attention.self.value", "v_proj"),
+                         ("attention.output.dense", "out_proj"),
+                         ("intermediate.dense", "fc"),
+                         ("output.dense", "proj")):
+            w = get(L + hf + ".weight")
+            if w is not None:
+                blk[ours]["kernel"] = to_np(w).T
+                blk[ours]["bias"] = to_np(sd[L + hf + ".bias"])
+        # pre-LN mapping: HF BERT is post-LN; attention.output.LayerNorm maps
+        # onto ln_2 and output.LayerNorm onto the next block's ln_1 — a known
+        # architectural mismatch. We map attention LN -> ln_1 and output LN ->
+        # ln_2 as the closest functional placement and document the residual
+        # discrepancy (exact parity requires trained finetuning anyway since
+        # upstream ships no weights).
+        for hf, ours in (("attention.output.LayerNorm", "ln_1"),
+                         ("output.LayerNorm", "ln_2")):
+            w = get(L + hf + ".weight")
+            if w is not None:
+                blk[ours]["scale"] = to_np(w)
+                blk[ours]["bias"] = to_np(sd[L + hf + ".bias"])
+        i += 1
+
+    # projection head (open_clip 'proj' mlp: text.proj.0 / text.proj.2)
+    w = get(prefix + "proj.0.weight")
+    if w is not None:
+        inner["proj_fc1"]["kernel"] = to_np(w).T
+        inner["proj_fc1"]["bias"] = to_np(sd[prefix + "proj.0.bias"])
+    w = get(prefix + "proj.2.weight")
+    if w is not None:
+        inner["proj_fc2"]["kernel"] = to_np(w).T
+        inner["proj_fc2"]["bias"] = to_np(sd[prefix + "proj.2.bias"])
+    return new

@@ -37,3 +37,51 @@ def test_clip_variant():
     m = BiomedCLIP(clip_type="CLIP", embed_dim=16, tiny=True, seed=1)
     emb = m.encode_text(["speckle in ultra sound"])
     assert emb.shape == (1, 16)
+
+
+def test_bert_weight_conversion_mapping():
+    """Synthetic torch-style state dict converts into the tower's tree with
+    values landing in the right leaves."""
+    import numpy as np
+
+    from instancediff_tpu.models.text_encoder import (
+        HFContextTextEncoder,
+        load_torch_bert_weights,
+    )
+    import jax
+    import jax.numpy as jnp
+
+    te = HFContextTextEncoder(hidden=16, heads=2, layers=1, proj_dim=8,
+                              vocab_size=32, context_length=8, max_position=16)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = te.init(jax.random.key(0), ids, None, None)
+
+    rng = np.random.default_rng(0)
+    P = "text.transformer."
+    sd = {
+        P + "embeddings.word_embeddings.weight": rng.standard_normal((32, 16)),
+        P + "embeddings.position_embeddings.weight": rng.standard_normal((16, 16)),
+        P + "embeddings.token_type_embeddings.weight": rng.standard_normal((2, 16)),
+        P + "embeddings.LayerNorm.weight": rng.standard_normal(16),
+        P + "embeddings.LayerNorm.bias": rng.standard_normal(16),
+        P + "encoder.layer.0.attention.self.query.weight": rng.standard_normal((16, 16)),
+        P + "encoder.layer.0.attention.self.query.bias": rng.standard_normal(16),
+        "text.proj.0.weight": rng.standard_normal((12, 16)),
+        "text.proj.0.bias": rng.standard_normal(12),
+        "text.proj.2.weight": rng.standard_normal((8, 12)),
+        "text.proj.2.bias": rng.standard_normal(8),
+    }
+    new = load_torch_bert_weights(params, sd)
+    inner = new["params"]
+    np.testing.assert_allclose(
+        np.asarray(inner["word_embeddings"]["embedding"]),
+        sd[P + "embeddings.word_embeddings.weight"], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(inner["layer_0"]["q_proj"]["kernel"]),
+        sd[P + "encoder.layer.0.attention.self.query.weight"].T, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(inner["proj_fc2"]["kernel"]),
+        sd["text.proj.2.weight"].T, atol=1e-6)
+    # untouched leaves remain valid and the tower still runs
+    out = te.apply(new, ids, None, None)
+    assert out.shape == (1, 8)
