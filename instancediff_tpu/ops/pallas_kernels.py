@@ -36,14 +36,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 def group_norm_silu_reference(x, gamma, beta, num_groups, eps=1e-5,
                               residual=None, silu=True):
-    """jnp reference: GN over (H,W,Cg) per (B,G), fp32 stats, then affine+SiLU."""
+    """jnp reference: GN over (H,W,Cg) per (B,G), fp32 stats, then affine+SiLU.
+
+    Group statistics are computed via a channel->group one-hot matmul instead
+    of reshaping the channel axis — the reshape formulation forces bad TPU
+    layouts (lane-dim splits) both in XLA and Mosaic."""
     B, H, W, C = x.shape
     G = num_groups
-    xg = x.astype(jnp.float32).reshape(B, H * W, G, C // G)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
-    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
-    out = xn.reshape(B, H, W, C) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    Cg = C // G
+    xf = x.astype(jnp.float32)
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (C, G), 0) // Cg
+    grp = jax.lax.broadcasted_iota(jnp.int32, (C, G), 1)
+    M = (col_g == grp).astype(jnp.float32)  # [C, G]
+    colsum = jnp.sum(xf, axis=(1, 2))        # [B, C]
+    colsq = jnp.sum(xf * xf, axis=(1, 2))    # [B, C]
+    n = H * W * Cg
+    mean_g = (colsum @ M) / n                # [B, G]
+    var_g = (colsq @ M) / n - mean_g**2
+    mean_c = mean_g @ M.T                    # [B, C]
+    rstd_c = jax.lax.rsqrt(var_g + eps) @ M.T
+    out = (xf - mean_c[:, None, None, :]) * rstd_c[:, None, None, :]
+    out = out * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     if silu:
         out = out * jax.nn.sigmoid(out)
     if residual is not None:
