@@ -22,14 +22,20 @@ def create_dataset(dataset_opt):
 def create_dataloader(dataset, dataset_opt, opt=None, sampler=None):
     phase = dataset_opt["phase"]
     if phase == "train":
+        # Single-process SPMD: this process feeds the whole mesh, so the
+        # loader yields the GLOBAL batch and shard_batch splits it across
+        # the 'dp' axis. (The reference's per-process DDP divided the batch
+        # per rank, data/__init__.py:14-15; the multi-host analogue here is
+        # the n_hosts divisor with DistIterSampler rank sharding.)
         world_size = (opt or {}).get("world_size") or 1
+        n_hosts = (opt or {}).get("n_hosts") or 1
         batch_size = dataset_opt["batch_size"]
         assert batch_size % world_size == 0, "batch must divide across replicas"
-        per_replica = batch_size // world_size
+        per_host = batch_size // n_hosts
         shuffle = sampler is None
         return DataLoader(
             dataset,
-            batch_size=per_replica,
+            batch_size=per_host,
             sampler=sampler,
             shuffle=shuffle,
             drop_last=True,

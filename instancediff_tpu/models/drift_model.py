@@ -24,8 +24,7 @@ over the mesh 'dp' axis when the step is pjit-sharded (parallel/).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

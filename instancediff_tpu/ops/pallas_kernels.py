@@ -21,7 +21,6 @@ as golden values in tests (interpret mode).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

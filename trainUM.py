@@ -13,11 +13,8 @@ Differences from the reference (TPU-native):
 from __future__ import annotations
 
 import argparse
-import logging
-import math
 import os
 import os.path as osp
-import sys
 import time
 
 import numpy as np
