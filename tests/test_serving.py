@@ -1,0 +1,50 @@
+"""Serving API: Restorer padding/chunking and config loading."""
+
+import numpy as np
+import pytest
+
+from instancediff_tpu.serving import Restorer
+from instancediff_tpu.models.drift_model import CLIPDriftEngine
+from instancediff_tpu.sde import DriftSDE
+
+TINY = dict(in_nc=2, out_nc=5, nf=4, ch_mult=[1, 2], context_dim=8,
+            text_module="scoremap", score_map_chan=2, if_MultiScoreMap=True,
+            num_res_blocks=1)
+
+
+@pytest.fixture(scope="module")
+def restorer():
+    eng = CLIPDriftEngine(
+        dnet_settings=TINY, nnet_settings=TINY, score_map_ch_mult=(1, 1),
+        score_map_ngf=4, use_image_context=True, CLIP_Type="CLIP",
+        tiny_text_encoder=True, sde=DriftSDE(T=4, max_sigma=0.4),
+        image_size=8, if_train=False, seed=0)
+    return Restorer(eng, batch_size=4, use_ema=False)
+
+
+def test_restore_ragged_batch(restorer):
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (6, 8, 8, 1)).astype(np.float32)  # 6 % 4 != 0
+    out = restorer.restore(imgs, "speckle in OCT")
+    assert out.shape == imgs.shape
+    assert np.isfinite(out).all()
+
+
+def test_restore_mixed_types(restorer):
+    rng = np.random.default_rng(1)
+    imgs = rng.uniform(-1, 1, (2, 8, 8, 1)).astype(np.float32)
+    out = restorer.restore(imgs, ["speckle in OCT", "Gaussian noise in MRI"])
+    assert out.shape == imgs.shape
+
+
+def test_restore_deterministic_padding(restorer):
+    """Padded samples must not change the real samples' outputs (same
+    compiled batch, per-sample independence up to batch statistics — there
+    are none: no batchnorm)."""
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(-1, 1, (4, 8, 8, 1)).astype(np.float32)
+    eng = restorer.engine
+    # fresh Restorers so both calls fold the same RNG key
+    full = Restorer(eng, batch_size=4, use_ema=False).restore(imgs, "speckle in OCT")
+    part = Restorer(eng, batch_size=4, use_ema=False).restore(imgs[:3], "speckle in OCT")
+    np.testing.assert_allclose(part, full[:3], atol=1e-5)

@@ -44,11 +44,17 @@ def main():
     parser.add_argument("--local_rank", type=int, default=0)
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu) before backend init")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host SPMD: jax.distributed.initialize() "
+                             "coordinator bootstrap (replaces the reference's "
+                             "env-var rank init, trainUM.py:50-70)")
     args = parser.parse_args()
 
     import jax
 
     _setup_jax_cache()
+    if args.multihost:
+        jax.distributed.initialize()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
@@ -76,6 +82,9 @@ def main():
     n_devices = jax.device_count()
     world_size = n_devices if (opt["train"] or {}).get("dist") else 1
     opt["world_size"] = world_size
+    n_hosts = jax.process_count() if args.multihost else 1
+    opt["n_hosts"] = n_hosts
+    host_rank = jax.process_index() if args.multihost else 0
 
     # resume state handling (reference trainUM.py:123-131 + options.check_resume)
     resume_state_path = opt["path"].get("resume_state")
@@ -105,7 +114,10 @@ def main():
         phase = phase.split("_")[0]
         dataset = data_pkg.create_dataset(dataset_opt)
         if phase == "train":
-            train_sampler = DistIterSampler(len(dataset), num_replicas=1, rank=0)
+            # per-host data sharding (DistIterSampler epoch-seeded semantics;
+            # multi-host ranks stride the same permutation)
+            train_sampler = DistIterSampler(len(dataset), num_replicas=n_hosts,
+                                            rank=host_rank)
             train_loader = data_pkg.create_dataloader(dataset, dataset_opt, opt, train_sampler)
             logger.info("train dataset: %d images, %d iters/epoch",
                         len(dataset), len(train_loader))
