@@ -268,6 +268,9 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                     )
                 )
         self.dec_blocks = dec
+        # ConvTranspose upsampling: nearest-resize+conv wins in isolation
+        # (0.12 vs 0.42 ms) but LOSES ~9% end-to-end — the resize gather
+        # breaks producer fusion inside the scan body (measured both ways)
         self.up = [
             nn.ConvTranspose(self.nf * self.ch_mult[i], (4, 4), strides=(2, 2),
                              dtype=self.dtype, name=f"up_{i}")
