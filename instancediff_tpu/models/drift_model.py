@@ -106,6 +106,7 @@ class CLIPDriftEngine:
         use_degra_context=False,
         CLIP_Type="CLIP",
         artifact_prompts=ARTIFACT_PROMPTS,
+        type_map_ind=None,
         image_size=224,
         sde: Optional[DriftSDE] = None,
         seed=0,
@@ -127,6 +128,8 @@ class CLIPDriftEngine:
         self.clip_type = CLIP_Type
         self.dnet_settings = dict(dnet_settings)
         self.nnet_settings = dict(nnet_settings)
+        self.type_map = dict(type_map_ind) if type_map_ind else {
+            name: i for i, name in enumerate(artifact_prompts)}
         self.use_dsm = self.dnet_settings.get("use_dsm", True)
         self.use_nsm = self.nnet_settings.get("use_nsm", True)
         self.dtype = dtype
@@ -662,6 +665,7 @@ class CLIPDriftEngine:
 def create_CLIPDriftModel(train_opt, model_opt, phase="train", **kwargs):
     """Factory with the reference's signature shape (drift_noise_model.py:758-810):
     reads the ``models.DriftNoise`` option block."""
+    kwargs.setdefault("type_map_ind", model_opt.get("type_map_ind"))
     return CLIPDriftEngine(
         dnet_settings=dict(model_opt["dnet_settings"]),
         nnet_settings=dict(model_opt["nnet_settings"]),

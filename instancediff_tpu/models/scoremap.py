@@ -83,15 +83,21 @@ class ScoreMapModule(nn.Module):
             "context", nn.initializers.normal(0.02), (self.n_ctx, self.token_embed_dim)
         )
         self.vis_in = nn.Dense(self.visual_dim, dtype=self.dtype, name="vis_in")
-        self.vis_emb = nn.Dense(self.embed_dim, dtype=self.dtype, name="vis_emb")
         self.mem_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="mem_proj")
         self.decoder = [
             ScaledDecoderLayer(self.embed_dim, self.heads, dtype=self.dtype, name=f"dec_{i}")
             for i in range(self.decoder_layers)
         ]
-        self.vis_ln = nn.LayerNorm(dtype=jnp.float32, name="vis_ln")
+        # score head: the bilinear form <W2 W1 vis_p, q_k> is computed by
+        # projecting the K refined text queries DOWN into visual space
+        # instead of lifting every pixel up to embed_dim — algebraically the
+        # same family, but avoids materialising a [B, HW, embed_dim]
+        # intermediate (1.1 GB at 256px/512d; profiled as the sampler's
+        # dominant HBM traffic). LayerNorm moves to the (tiny) query side.
+        self.q_ln = nn.LayerNorm(dtype=jnp.float32, name="q_ln")
+        self.q_to_vis = nn.Dense(self.visual_dim, dtype=self.dtype, name="q_to_vis")
         self.scale = self.param(
-            "logit_scale", nn.initializers.constant(self.embed_dim**-0.5), ()
+            "logit_scale", nn.initializers.constant(self.visual_dim**-0.5), ()
         )
         self.bias = self.param("score_bias", nn.initializers.zeros, ())
 
@@ -113,11 +119,11 @@ class ScoreMapModule(nn.Module):
         q = jnp.broadcast_to(text_emb[None], (B, K, self.embed_dim)).astype(vis.dtype)
         for layer in self.decoder:
             q = layer(q, memory)
-        # full-resolution pixel embeddings for the score head
-        tokens = self.vis_in(vis.reshape(B, h * w, -1))
-        vis_e = self.vis_ln(self.vis_emb(tokens))  # [B, hw, E]
+        # full-resolution pixel features stay in visual space (see setup note)
+        tokens = self.vis_in(vis.reshape(B, h * w, -1))  # [B, hw, V]
+        q_vis = self.q_to_vis(self.q_ln(q).astype(vis.dtype))  # [B, K, V]
         score = (
-            jnp.einsum("bpe,bke->bpk", vis_e, q) * self.scale.astype(vis.dtype)
+            jnp.einsum("bpv,bkv->bpk", tokens, q_vis) * self.scale.astype(vis.dtype)
             + self.bias.astype(vis.dtype)
         )
         return score.reshape(B, h, w, K)

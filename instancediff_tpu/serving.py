@@ -57,6 +57,8 @@ class Restorer:
             opt = dict_to_nonedict(yaml.load(f, Loader=loader))
         which_model = (opt.get("train") or {}).get("which_model") or "DriftNoise"
         model_opt = opt["models"][which_model]
+        if opt.get("type_map_ind") and not model_opt.get("type_map_ind"):
+            model_opt["type_map_ind"] = opt["type_map_ind"]
         engine = create_model(None, model_opt, phase="test",
                               image_size=(opt.get("resolution") or 224))
         which_sde = (opt.get("train") or {}).get("which_sde") or "driftSDE"

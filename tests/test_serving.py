@@ -48,3 +48,55 @@ def test_restore_deterministic_padding(restorer):
     full = Restorer(eng, batch_size=4, use_ema=False).restore(imgs, "speckle in OCT")
     part = Restorer(eng, batch_size=4, use_ema=False).restore(imgs[:3], "speckle in OCT")
     np.testing.assert_allclose(part, full[:3], atol=1e-5)
+
+
+def test_restorer_from_config(tmp_path):
+    """Config-driven construction (tiny_cpu.yml schema) builds a working
+    Restorer without a checkpoint (random weights)."""
+    import textwrap
+
+    cfg = textwrap.dedent("""
+    name: serving_cfg
+    resolution: 8
+    type_map_ind:
+      speckle in OCT: 0
+      Gaussian noise in MRI: 4
+    train:
+      which_sde: driftSDE
+      which_model: DriftNoise
+    models:
+      DriftNoise:
+        module_name: drift_noise_model
+        class_name: CLIPDriftModel
+        nnet_settings: &n
+          in_nc: 2
+          out_nc: 5
+          nf: 4
+          ch_mult: [1, 2]
+          num_res_blocks: 1
+          context_dim: 8
+          text_module: scoremap
+          score_map_chan: 2
+          if_MultiScoreMap: True
+        dnet_settings: *n
+        use_image_context: True
+        if_MultiScoreMap: True
+        score_map_ch_mult: [1, 1]
+        score_map_ngf: 4
+        CLIP_Type: CLIP
+        tiny_text_encoder: True
+    sdes:
+      driftSDE:
+        class_name: driftSDE
+        T: 4
+        max_sigma: 0.4
+        drift_schedule: sigmoid
+        noise_schedule: sigmoid
+    """)
+    p = tmp_path / "cfg.yml"
+    p.write_text(cfg)
+    r = Restorer.from_config(str(p), batch_size=2)
+    assert r.type_map["Gaussian noise in MRI"] == 4
+    imgs = np.zeros((1, 8, 8, 1), np.float32)
+    out = r.restore(imgs, "Gaussian noise in MRI")
+    assert out.shape == imgs.shape and np.isfinite(out).all()
