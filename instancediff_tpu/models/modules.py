@@ -14,6 +14,8 @@ from .unet import LearnableForwardUNet, LearnableForwardUNetMultiScoreMap
 _NET_REGISTRY = {
     "LearnableForwardUNet_MultiScoreMap": LearnableForwardUNetMultiScoreMap,
     "LearnableForwardUNet": LearnableForwardUNet,
+    # legacy network_G entry (config.yml:53 which_model_G: ConditionalUNet)
+    "ConditionalUNet": LearnableForwardUNet,
 }
 
 
