@@ -115,6 +115,7 @@ class CLIPDriftEngine:
         tokenizer_vocab_path=None,
         text_encoder_pretrain_path=None,  # schema parity; weights unreleased upstream
         tiny_text_encoder=False,
+        remat="auto",  # rematerialise ResBlocks in training (True/False/"auto")
     ):
         self.optimize_type = optimize_type
         self.optimize_target = optimize_target
@@ -167,6 +168,8 @@ class CLIPDriftEngine:
                 lambda kk: self.text_encoder.init(kk, self.prompt_ids, n_ctx_probe)
             )(k_text)
 
+        self.remat = (image_size >= 128) if remat == "auto" else bool(remat)
+
         # ---- dual UNets (prompt modules owned inside, split at checkpoint) ----
         def build_unet(settings):
             return LearnableForwardUNetMultiScoreMap(
@@ -184,6 +187,7 @@ class CLIPDriftEngine:
                 use_degra_context=use_degra_context,
                 token_embed_dim=token_embed_dim,
                 num_res_blocks=settings.get("num_res_blocks", 2),
+                remat=self.remat and if_train,
                 dtype=dtype,
             )
 
