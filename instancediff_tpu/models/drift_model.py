@@ -315,6 +315,12 @@ class CLIPDriftEngine:
             return ((x_t, mu), (x_t, mu), mu - x0, x0)
         raise ValueError(f"unknown optimize_type '{ot}'")
 
+    def _can_fuse_dual(self):
+        """Dual-net fusion is valid when both UNets share one architecture
+        (they do under the reference config: dnet_settings == nnet_settings)."""
+        return (self.dnet_settings == self.nnet_settings
+                and self.dnet_settings.get("text_module", "scoremap") == "scoremap")
+
     def _loss_terms(self, dparams, nparams, text_params, batch, t, x_t, std_noise):
         mu, x0 = batch["input"], batch["target"]
         ty = batch["type_idx"]
@@ -329,14 +335,33 @@ class CLIPDriftEngine:
         if self.use_degra_context:
             degra_ctx = self._prompt_embs_nocontext(text_params)[ty][:, None, :]
 
-        pred_drift, d_sms = self.drift_net.apply(
-            dparams, d_in[0], d_in[1], tb, ty, text_fn=text_fn,
-            image_context=img_ctx, degra_context=degra_ctx,
-        )
-        pred_noise, n_sms = self.noise_net.apply(
-            nparams, n_in[0], n_in[1], tb, ty, text_fn=text_fn,
-            image_context=img_ctx, degra_context=degra_ctx,
-        )
+        if self._can_fuse_dual():
+            # one vmapped forward over stacked param trees (identical
+            # architecture): halves the traced/compiled graph and doubles the
+            # conv batch — same trick as the sampler, here through AD too
+            stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), dparams, nparams)
+            x_a = jnp.stack([d_in[0], n_in[0]])
+            x_b = jnp.stack([d_in[1], n_in[1]])
+
+            def one_net(params, xa, xb):
+                return self.drift_net.apply(
+                    params, xa, xb, tb, ty, text_fn=text_fn,
+                    image_context=img_ctx, degra_context=degra_ctx,
+                )
+
+            preds, sms = jax.vmap(one_net)(stacked, x_a, x_b)
+            pred_drift, pred_noise = preds[0], preds[1]
+            d_sms = [sm[0] for sm in sms]
+            n_sms = [sm[1] for sm in sms]
+        else:
+            pred_drift, d_sms = self.drift_net.apply(
+                dparams, d_in[0], d_in[1], tb, ty, text_fn=text_fn,
+                image_context=img_ctx, degra_context=degra_ctx,
+            )
+            pred_noise, n_sms = self.noise_net.apply(
+                nparams, n_in[0], n_in[1], tb, ty, text_fn=text_fn,
+                image_context=img_ctx, degra_context=degra_ctx,
+            )
         dloss = jnp.mean((pred_drift - d_target) ** 2)
         nloss = jnp.mean((pred_noise - n_target) ** 2)
 
