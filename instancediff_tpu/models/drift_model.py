@@ -317,8 +317,13 @@ class CLIPDriftEngine:
 
     def _can_fuse_dual(self):
         """Dual-net fusion is valid when both UNets share one architecture
-        (they do under the reference config: dnet_settings == nnet_settings)."""
-        return (self.dnet_settings == self.nnet_settings
+        (they do under the reference config: dnet_settings == nnet_settings).
+        ``fuse_dual_train=False`` opts out — required under fsdp parameter
+        sharding, where XLA's SPMD partitioner crashes on vmapped
+        ConvTranspose (convolution_handler Check failure; dp-only sharding
+        is fine and verified)."""
+        return (getattr(self, "fuse_dual_train", True)
+                and self.dnet_settings == self.nnet_settings
                 and self.dnet_settings.get("text_module", "scoremap") == "scoremap")
 
     def _loss_terms(self, dparams, nparams, text_params, batch, t, x_t, std_noise):
