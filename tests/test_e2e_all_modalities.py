@@ -131,3 +131,25 @@ def test_one_checkpoint_restores_all_five(all5_env, monkeypatch, capsys):
     evaluated = [t for t in ALL5 if results.get(t, {}).get("num", 0) >= 1]
     assert len(evaluated) == 5, f"only evaluated {evaluated}"
     assert out.count("AVG PSNR") >= 5
+
+
+def test_batched_on_device_emb_eval(all5_env, monkeypatch, capsys):
+    """Batched multi-image sampling with emb_A computed ON DEVICE by the
+    ViT tower (BASELINE.json config 3) through the real test driver."""
+    import yaml
+    import testUM
+
+    with open(all5_env["cfg"]) as f:
+        cfg = yaml.safe_load(f)
+    cfg["test"]["batch_size"] = 5
+    cfg["test"]["on_device_emb"] = True
+    cfg["models"]["DriftNoise"]["tiny_text_encoder"] = True
+    cfg2 = os.path.join(all5_env["root"], "cfg_batched.yml")
+    with open(cfg2, "w") as f:
+        yaml.dump(cfg, f)
+
+    monkeypatch.chdir(all5_env["root"])
+    monkeypatch.setattr(sys, "argv", ["testUM.py", f"-opt={cfg2}"])
+    results = testUM.main()
+    capsys.readouterr()
+    assert sum(v["num"] for v in results.values()) == 5
