@@ -106,3 +106,24 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_fresh_subprocess():
+    """Run dryrun_multichip exactly like the driver does: a raw interpreter
+    with NO env forcing and no conftest. Round 1 failed precisely here
+    (MULTICHIP_r01.json rc=1) because only the tests forced the 8-device CPU
+    backend; dryrun_multichip must be self-sufficient."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    for var in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES"):
+        env.pop(var, None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"stderr tail: {r.stderr[-2000:]}"
+    assert "== single-device" in r.stdout
