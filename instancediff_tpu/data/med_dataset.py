@@ -5,10 +5,10 @@ Parity with reference data/MedSpeckle.py:12-89:
     (README.md:68-102),
   * filtering by ``use_artifact_type`` and ``max_dataset_size`` truncation,
   * raw float32 files reshaped to (224, 224),
-  * per-modality normalisation — CT clamp [0,1800]/1800 (keyed by the
-    reference's literal ``'scatter artifact in CT'`` name and by
-    ``'noise in low dose CT'``), cryo-EM clamp [0,255]/255 — then the global
-    affine map to [-1, 1],
+  * per-modality normalisation — CT clamp [0,1800]/1800 keyed ONLY on the
+    reference's literal ``'scatter artifact in CT'`` name (MedSpeckle.py:56-61;
+    low-dose-CT data arrives already in [0,1] and gets no clamp), cryo-EM
+    clamp [0,255]/255 — then the global affine map to [-1, 1],
   * precomputed CLIP image embedding channel ``A_emb``.
 
 TPU deltas: arrays come out NHWC ([H, W, 1]); prompt names are additionally
@@ -32,7 +32,7 @@ DEFAULT_TYPE_MAP = {
     "Gaussian noise in MRI": 4,
 }
 
-_CT_NAMES = ("scatter artifact in CT", "noise in low dose CT")
+_CT_NAMES = ("scatter artifact in CT",)
 _CRYO_NAMES = ("noise in cryo-EM image",)
 
 

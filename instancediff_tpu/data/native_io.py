@@ -57,7 +57,7 @@ def available() -> bool:
 
 def mode_for(name: str) -> int:
     """Per-artifact-type normalisation mode (med_dataset normalize_pair)."""
-    if name in ("scatter artifact in CT", "noise in low dose CT"):
+    if name == "scatter artifact in CT":
         return MODES["ct"]
     if name == "noise in cryo-EM image":
         return MODES["cryo"]

@@ -68,10 +68,10 @@ class SyntheticMedDataset:
             clean = make_phantom(rng, res)
             deg = degrade(rng, clean, name)
             # store in raw intensity domain; normalize like the file path does
+            # (low-dose CT stays in [0,1] — the reference clamps/1800 only
+            # 'scatter artifact in CT', MedSpeckle.py:56-61)
             if name == "noise in cryo-EM image":
                 clean_raw, deg_raw = clean * 255.0, deg * 255.0
-            elif name == "noise in low dose CT":
-                clean_raw, deg_raw = clean * 1800.0, deg * 1800.0
             else:
                 clean_raw, deg_raw = clean, deg
             emb = rng.standard_normal((1, emb_dim)).astype(np.float32) * 0.02
@@ -119,8 +119,6 @@ def write_synthetic_index(root, n_train=8, n_val=2, n_test=2, res=224,
             deg = degrade(rng, clean, name)
             if name == "noise in cryo-EM image":
                 clean, deg = clean * 255.0, deg * 255.0
-            elif name == "noise in low dose CT":
-                clean, deg = clean * 1800.0, deg * 1800.0
             a_path = os.path.join(root, f"{split}_{i}_A.raw")
             b_path = os.path.join(root, f"{split}_{i}_B.raw")
             e_path = os.path.join(root, f"{split}_{i}_emb.raw")

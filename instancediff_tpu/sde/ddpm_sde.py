@@ -59,6 +59,12 @@ class DDPMSDE:
 
         abar = self.alphas_bar
 
+        # max_sigma generalisation: with x_t = sqrt(abar_t) x0 +
+        # s*sqrt(1-abar_t) eps (s = max_sigma), the posterior mean coefficients
+        # are unchanged (s^2 cancels) but the eps term and the posterior
+        # variance pick up s and s^2 respectively.
+        s = jnp.asarray(self.max_sigma)
+
         def body(x, inp):
             t_scalar, k = inp
             t_b = jnp.full((B,), t_scalar, dtype=jnp.int32)
@@ -67,8 +73,9 @@ class DDPMSDE:
             abar_t = abar[t_scalar].astype(x.dtype)
             abar_p = abar[t_scalar - 1].astype(x.dtype)
             beta_t = 1.0 - a_t
-            mean = (x - beta_t / jnp.sqrt(1.0 - abar_t) * eps_hat) / jnp.sqrt(a_t)
-            var = beta_t * (1.0 - abar_p) / (1.0 - abar_t)
+            s_ = s.astype(x.dtype)
+            mean = (x - s_ * beta_t / jnp.sqrt(1.0 - abar_t) * eps_hat) / jnp.sqrt(a_t)
+            var = s_ * s_ * beta_t * (1.0 - abar_p) / (1.0 - abar_t)
             z = jax.random.normal(k, x.shape, dtype=x.dtype)
             x_next = mean + jnp.where(t_scalar > 1, jnp.sqrt(var), 0.0) * z
             return x_next, None

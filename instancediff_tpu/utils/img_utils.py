@@ -33,8 +33,9 @@ def tensor2img(tensor, out_type=np.uint8, min_max=(0, 1)):
 
 def img2tensor(img):
     """HWC uint8/float image -> [C,H,W] float32 in [0,1]."""
-    arr = np.asarray(img, dtype=np.float32)
-    if arr.dtype == np.uint8 or arr.max() > 1.5:
+    src = np.asarray(img)
+    arr = src.astype(np.float32)
+    if src.dtype == np.uint8 or arr.max() > 1.5:
         arr = arr / 255.0
     if arr.ndim == 2:
         arr = arr[None]

@@ -31,7 +31,7 @@ inline float clampf(float v, float lo, float hi) {
 
 void normalize(float* data, int64_t n, int mode) {
   switch (mode) {
-    case 1:  // low-dose / scatter CT: clamp [0,1800] / 1800, then affine
+    case 1:  // scatter-artifact CT only: clamp [0,1800] / 1800, then affine
       for (int64_t i = 0; i < n; ++i)
         data[i] = clampf(data[i], 0.f, 1800.f) / 1800.f * 2.f - 1.f;
       break;

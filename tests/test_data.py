@@ -20,7 +20,12 @@ from instancediff_tpu.data.synthetic import (
 def test_normalize_pair_modalities():
     a = np.array([[-10.0, 900.0, 2000.0]], dtype=np.float32)
     b = a.copy()
-    na, nb = normalize_pair(a.copy(), b.copy(), "noise in low dose CT")
+    na, nb = normalize_pair(a.copy(), b.copy(), "scatter artifact in CT")
+    np.testing.assert_allclose(na, np.array([[-1.0, 0.0, 1.0]]), atol=1e-6)
+    # low-dose CT gets NO clamp in the reference (MedSpeckle.py:56-61): data
+    # arrives in [0,1] and only the global affine applies
+    a = np.array([[0.0, 0.5, 1.0]], dtype=np.float32)
+    na, _ = normalize_pair(a.copy(), a.copy(), "noise in low dose CT")
     np.testing.assert_allclose(na, np.array([[-1.0, 0.0, 1.0]]), atol=1e-6)
     a = np.array([[0.0, 127.5, 300.0]], dtype=np.float32)
     na, _ = normalize_pair(a.copy(), a.copy(), "noise in cryo-EM image")

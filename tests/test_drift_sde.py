@@ -126,6 +126,21 @@ def test_ddpm_oracle_reverse():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
 
 
+def test_ddpm_oracle_reverse_max_sigma():
+    """max_sigma != 1 must stay self-consistent: the reverse step folds the
+    scale into the eps term and posterior variance (ADVICE r1)."""
+    s = 0.4
+    sde = DDPMSDE(T=50, max_sigma=s)
+    x0 = jax.random.normal(jax.random.key(0), (1, 1, 8, 8))
+
+    def oracle(x_t, t_b):
+        abar = sde.alphas_bar[t_b].reshape(-1, 1, 1, 1)
+        return (x_t - jnp.sqrt(abar) * x0) / (s * jnp.sqrt(1 - abar))
+
+    out = sde.reverse_ddpm(jax.random.key(1), x0, oracle)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
+
 def test_irsde_forward_marginal_and_optimum_step():
     sde = IRSDE(max_sigma=0.4, T=100, schedule="cosine")
     x0, mu = _toy_batch(jax.random.key(5))

@@ -41,7 +41,9 @@ def test_read_batch_missing_file_falls_back_cleanly(tmp_path):
 
 
 def test_mode_for_artifact_names():
-    assert native_io.mode_for("noise in low dose CT") == native_io.MODES["ct"]
+    # only 'scatter artifact in CT' gets the /1800 clamp (MedSpeckle.py:56-61);
+    # low-dose CT is already-[0,1] data and must be plain affine
+    assert native_io.mode_for("noise in low dose CT") == native_io.MODES["affine"]
     assert native_io.mode_for("scatter artifact in CT") == native_io.MODES["ct"]
     assert native_io.mode_for("noise in cryo-EM image") == native_io.MODES["cryo"]
     assert native_io.mode_for("speckle in OCT") == native_io.MODES["affine"]
