@@ -139,10 +139,10 @@ def parse(opt_path, is_train=True):
 def check_resume(opt, resume_iter):
     """Rewrite pretrain model paths from a resume state (options.py:123-143).
 
-    The reference stores per-net weights as ``{iter}_{G,...}.pth``; our bundles
-    are ``{iter}_{DN,NN,DP,NP}.ckpt`` under ``path.models``. When ``resume_state``
-    is set we point the pretrain keys at those files and warn if the user had
-    set explicit pretrain paths.
+    The reference rewrites ``pretrain_model_G/D`` to ``{iter}_{G,D}.pth``; our
+    weight bundles are ``{iter}_{DN,NN,DP,NP}.ckpt`` under ``path.models``, so
+    the keys written here are the names ``load_bundle`` actually consumes.
+    Warns if the user had set explicit pretrain paths (reference behaviour).
     """
     if opt["path"].get("resume_state"):
         if opt["path"].get("pretrain_model_G") or opt["path"].get("pretrain_model_D"):
@@ -150,14 +150,15 @@ def check_resume(opt, resume_iter):
                 "pretrain_model paths will be ignored during resume; "
                 "weights come from the resume iteration instead."
             )
-        opt["path"]["pretrain_model_G"] = osp.join(
-            opt["path"]["models"], f"{resume_iter}_G.ckpt"
-        )
-        logger.info("Set [pretrain_model_G] to %s", opt["path"]["pretrain_model_G"])
-        if "gan" in (opt.get("model") or ""):
-            opt["path"]["pretrain_model_D"] = osp.join(
-                opt["path"]["models"], f"{resume_iter}_D.ckpt"
+        for tag in ("DN", "NN", "DP", "NP"):
+            opt["path"][f"pretrain_model_{tag}"] = osp.join(
+                opt["path"]["models"], f"{resume_iter}_{tag}.ckpt"
             )
+        # schema-parity alias: the reference's single G key maps to the
+        # drift-net bundle
+        opt["path"]["pretrain_model_G"] = opt["path"]["pretrain_model_DN"]
+        logger.info("Set resume pretrain bundle to %s/%s_{DN,NN,DP,NP}.ckpt",
+                    opt["path"]["models"], resume_iter)
     return opt
 
 

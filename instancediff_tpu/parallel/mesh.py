@@ -61,12 +61,28 @@ def _fsdp_spec(x, mesh: Mesh, axis: str = "fsdp"):
     return P()
 
 
-def shard_params_fsdp(mesh: Mesh, params, axis: str = "fsdp"):
-    """Place a parameter pytree with per-leaf FSDP sharding."""
-    def place(x):
-        return jax.device_put(x, NamedSharding(mesh, _fsdp_spec(x, mesh, axis)))
+# XLA SPMD partitioner bug (convolution_handler.cc:832 Check failure
+# "ShapeUtil::Compatible(shard_shape, sharded_conv->shape())"): an
+# fsdp-sharded ConvTranspose kernel inside the vmapped dual-net train step
+# crashes partitioning (bisected to the UNet's `up_*` kernels; the same op
+# partitioned in isolation is fine). Replicating just those kernels costs
+# <2% of parameter memory and unblocks the fused step under fsdp.
+FSDP_REPLICATE_PATTERNS = ("up_",)
 
-    return jax.tree.map(place, params)
+
+def shard_params_fsdp(mesh: Mesh, params, axis: str = "fsdp"):
+    """Place a parameter pytree with per-leaf FSDP sharding (path-aware:
+    leaves under modules matching FSDP_REPLICATE_PATTERNS are replicated —
+    see the partitioner-bug note above)."""
+    def place(path, x):
+        pstr = jax.tree_util.keystr(path)
+        if any(pat in pstr for pat in FSDP_REPLICATE_PATTERNS):
+            spec = P()
+        else:
+            spec = _fsdp_spec(x, mesh, axis)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
 
 
 def replicate_tree(mesh: Mesh, tree):

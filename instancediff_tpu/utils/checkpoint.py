@@ -108,4 +108,9 @@ def save_training_state(state_dir: str, iteration, epoch, opt_states, extra=None
 
 def load_training_state(path: str, opt_template):
     tree = {"epoch": 0, "iter": 0, "opt": opt_template, "extra": {}}
-    return load_pytree(tree, path)
+    out = load_pytree(tree, path)
+    # msgpack restores scalars as read-only 0-d arrays; drivers treat
+    # epoch/iter as python ints
+    out["epoch"] = int(out["epoch"])
+    out["iter"] = int(out["iter"])
+    return out

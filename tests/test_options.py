@@ -93,5 +93,9 @@ def test_check_resume(tmp_path):
     opt = dict_to_nonedict(opt)
     opt["path"]["resume_state"] = "some/state/100.state"
     check_resume(opt, 100)
-    assert opt["path"]["pretrain_model_G"].endswith("100_G.ckpt")
-    assert opt["path"]["pretrain_model_G"].startswith(opt["path"]["models"])
+    # rewrites the names load_bundle actually consumes (DN/NN/DP/NP), with
+    # the reference's G key aliased to the drift-net bundle
+    for tag in ("DN", "NN", "DP", "NP"):
+        assert opt["path"][f"pretrain_model_{tag}"].endswith(f"100_{tag}.ckpt")
+        assert opt["path"][f"pretrain_model_{tag}"].startswith(opt["path"]["models"])
+    assert opt["path"]["pretrain_model_G"] == opt["path"]["pretrain_model_DN"]

@@ -102,6 +102,54 @@ def test_sharded_train_step_matches_single_device(tiny_engine):
     np.testing.assert_allclose(ref_leaf, got_leaf, rtol=1e-4, atol=1e-6)
 
 
+def test_dp_fsdp_sharded_train_step_matches_single_device(tiny_engine):
+    """dp x fsdp (ZeRO-style) sharding must also reproduce the single-device
+    step — including the FUSED dual-net path, which requires the
+    ConvTranspose `up_*` kernels to stay replicated (XLA SPMD partitioner
+    bug, see parallel/mesh.py:FSDP_REPLICATE_PATTERNS)."""
+    eng = tiny_engine
+    assert eng._can_fuse_dual()
+    k = jax.random.key(0)
+    x0 = jax.random.uniform(k, (8, 8, 8, 1)) * 2 - 1
+    mu = x0 + 0.2 * jax.random.normal(jax.random.fold_in(k, 1), x0.shape)
+    batch = {"input": mu, "target": x0,
+             "type_idx": jnp.arange(8, dtype=jnp.int32) % 5,
+             "A_emb": jnp.zeros((8, 1, 8))}
+    lr = jnp.asarray(1e-3, jnp.float32)
+    step_key = jax.random.key(7)
+    step_fn = jax.jit(eng.build_train_step())
+
+    state0 = jax.tree.map(jnp.copy, eng.state)
+    ref_state, ref_metrics = step_fn(state0, batch, step_key, eng.text_params, lr, lr)
+
+    mesh = make_mesh(("dp", "fsdp"), (4, 2))
+    sharded_batch = shard_batch(mesh, batch)
+    state1 = jax.tree.map(jnp.copy, eng.state)
+    state1 = {k2: (replicate_tree(mesh, v) if k2 == "step"
+                   else shard_params_fsdp(mesh, v)) for k2, v in state1.items()}
+    text_p = shard_params_fsdp(mesh, eng.text_params)
+    new_state, metrics = step_fn(state1, sharded_batch, step_key, text_p, lr, lr)
+
+    np.testing.assert_allclose(float(metrics["l"]), float(ref_metrics["l"]), rtol=1e-5)
+    for ref_leaf, got_leaf in zip(jax.tree.leaves(ref_state["drift"])[:3],
+                                  jax.tree.leaves(new_state["drift"])[:3]):
+        np.testing.assert_allclose(np.asarray(ref_leaf), np.asarray(got_leaf),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_fsdp_replicates_conv_transpose_kernels(tiny_engine):
+    """The partitioner-bug workaround: every `up_*` leaf must be replicated."""
+    mesh = make_mesh(("dp", "fsdp"), (4, 2))
+    sharded = shard_params_fsdp(mesh, tiny_engine.state["drift"])
+    flat = jax.tree_util.tree_flatten_with_path(sharded)[0]
+    seen = 0
+    for path, x in flat:
+        if "up_" in jax.tree_util.keystr(path):
+            seen += 1
+            assert x.sharding.spec == jax.sharding.PartitionSpec(), path
+    assert seen > 0
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 

@@ -142,10 +142,19 @@ def main():
         logger.info("SPMD mesh: %s", mesh)
 
     if resume_state_path:
+        from instancediff_tpu.config.options import check_resume
+
         resume_iter_dir = opt["path"]["models"]
         state_file = resume_state_path
         resume_epoch, resume_iter = model.resume_training(state_file)
-        model.load(resume_iter_dir, resume_iter)
+        # reference calls check_resume after loading the state
+        # (trainUM.py:123-131 via options.py:123-143): rewrite the pretrain
+        # keys to the bundle files this iteration actually produced
+        opt = check_resume(opt, resume_iter)
+        # skip the rolling lastest_*_ema files when the state carried the EMA
+        # (they may have been overwritten by a later save)
+        model.load(resume_iter_dir, resume_iter,
+                   load_ema=not getattr(model, "ema_restored", False))
         logger.info("resumed from epoch %d iter %d", resume_epoch, resume_iter)
         resume_epoch += 1  # reference re-enters at epoch+1 (trainUM.py:196-206)
 
