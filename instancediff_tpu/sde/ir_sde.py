@@ -72,10 +72,16 @@ class IRSDE:
         sbar = self.sigma_bars[t].reshape((-1,) + (1,) * (noise_hat.ndim - 1))
         return -noise_hat / jnp.maximum(sbar, 1e-12).astype(noise_hat.dtype)
 
-    def reverse_sde(self, key, mu, noise_fn: Callable, stochastic=True):
+    def reverse_sde(self, key, mu, noise_fn: Callable, stochastic=True,
+                    return_states=False):
         """T-step reverse SDE loop as one ``lax.scan``
         (legacy analogue: sde_utils.py:244-261). ``noise_fn(x, t[B]) ->
-        predicted std noise``."""
+        predicted std noise``.
+
+        ``return_states=True`` additionally returns the per-step trajectory
+        stacked [T, ...] — the functional analogue of the reference's
+        ``save_states`` PNG dumps (sde_utils.py:251-259); the caller decides
+        how to persist them (no filesystem IO inside the jitted loop)."""
         B = mu.shape[0]
         x_T = mu + self.max_sigma * jax.random.normal(key, mu.shape, dtype=mu.dtype)
         k_loop = jax.random.fold_in(key, 1)
@@ -94,11 +100,60 @@ class IRSDE:
             if stochastic:
                 z = jax.random.normal(k, x.shape, dtype=x.dtype)
                 x_next = x_next + jnp.sqrt(sigma2 * self.dt) * z * jnp.where(t_scalar > 1, 1.0, 0.0)
-            return x_next, None
+            return x_next, x_next if return_states else None
 
         ts = jnp.arange(self.T, 0, -1, dtype=jnp.int32)
-        x0, _ = jax.lax.scan(body, x_T, (ts, step_keys))
-        return x0
+        x0, states = jax.lax.scan(body, x_T, (ts, step_keys))
+        return (x0, states) if return_states else x0
+
+    def reverse_ode(self, key, mu, noise_fn: Callable, return_states=False):
+        """Deterministic probability-flow loop (sde_utils.py:263-279): the
+        reverse drift uses HALF the diffusion term and injects no noise."""
+        B = mu.shape[0]
+        x_T = mu + self.max_sigma * jax.random.normal(key, mu.shape, dtype=mu.dtype)
+
+        def body(x, t_scalar):
+            t_b = jnp.full((B,), t_scalar, dtype=jnp.int32)
+            score = self.score_from_noise(noise_fn(x, t_b), t_b)
+            theta = self.thetas[t_scalar].astype(x.dtype)
+            sigma2 = (2.0 * self.max_sigma**2 * self.thetas[t_scalar]).astype(x.dtype)
+            rev_drift = (theta * (mu - x) - 0.5 * sigma2 * score) * self.dt
+            x_next = x - rev_drift
+            return x_next, x_next if return_states else None
+
+        ts = jnp.arange(self.T, 0, -1, dtype=jnp.int32)
+        x0, states = jax.lax.scan(body, x_T, ts)
+        return (x0, states) if return_states else x0
+
+    def ode_sampler(self, x_T, mu, noise_fn: Callable, rtol=1e-5, atol=1e-5,
+                    eps=1e-3):
+        """Black-box adaptive ODE solve of the probability-flow ODE
+        (sde_utils.py:282-306). TPU-native equivalent of scipy
+        ``solve_ivp(..., method='RK45')``: ``jax.experimental.ode.odeint``
+        (adaptive Dormand-Prince RK45) — the whole solve stays on device
+        instead of round-tripping flattened numpy arrays through the host.
+
+        Integrates s = T - t from 0 to T - eps; schedules are interpolated
+        continuously, the net is called with the rounded integer step."""
+        from jax.experimental.ode import odeint
+
+        B = x_T.shape[0]
+        t_grid = jnp.arange(0, self.T + 1, dtype=jnp.float32)
+
+        def dx_ds(x, s):
+            t_cont = jnp.asarray(self.T, jnp.float32) - s
+            t_idx = jnp.clip(jnp.round(t_cont).astype(jnp.int32), 1, self.T)
+            t_b = jnp.full((B,), t_idx, dtype=jnp.int32)
+            score = self.score_from_noise(noise_fn(x, t_b), t_b)
+            theta = jnp.interp(t_cont, t_grid, self.thetas).astype(x.dtype)
+            sigma2 = (2.0 * self.max_sigma**2 * theta).astype(x.dtype)
+            # discrete loop: x(t-1) = x(t) - rev_drift, i.e. dx/dt = +rev_drift;
+            # with s = T - t, dx/ds = -rev_drift
+            return -(theta * (mu - x) - 0.5 * sigma2 * score) * self.dt
+
+        s_span = jnp.asarray([0.0, self.T - eps], dtype=jnp.float32)
+        ys = odeint(dx_ds, x_T, s_span, rtol=rtol, atol=atol)
+        return ys[-1]
 
     def reverse_optimum_step(self, x_t, x0, t):
         """Posterior-mean step (sde_utils.py:206-214): optimal x_{t-1} given

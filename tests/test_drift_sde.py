@@ -169,6 +169,44 @@ def test_irsde_oracle_reverse_sde():
     assert err < 0.05  # ODE-style reverse with oracle score converges near x0
 
 
+def test_irsde_reverse_ode_and_state_dumps():
+    """Probability-flow loop (half-diffusion drift) + state-dump option
+    (sde_utils.py:263-279 save_states analogue)."""
+    sde = IRSDE(max_sigma=0.2, T=100, schedule="cosine")
+    x0, mu = _toy_batch(jax.random.key(8), B=1)
+
+    def oracle_noise(x, t_b):
+        mean = sde.mu_bar(x0, mu, t_b)
+        sbar = sde.sigma_bars[t_b].reshape(-1, 1, 1, 1)
+        return (x - mean) / jnp.maximum(sbar, 1e-8)
+
+    out, states = sde.reverse_ode(jax.random.key(9), mu, oracle_noise,
+                                  return_states=True)
+    assert states.shape == (100,) + x0.shape
+    np.testing.assert_allclose(np.asarray(states[-1]), np.asarray(out))
+    assert float(jnp.mean(jnp.abs(out - x0))) < 0.05
+    # sde variant also exposes the trajectory
+    out_s, states_s = sde.reverse_sde(jax.random.key(9), mu, oracle_noise,
+                                      stochastic=False, return_states=True)
+    assert states_s.shape == (100,) + x0.shape
+
+
+def test_irsde_ode_sampler_black_box():
+    """Adaptive RK45 probability-flow solve (ode_sampler analogue,
+    sde_utils.py:282-306) restores x0 from an oracle score."""
+    sde = IRSDE(max_sigma=0.2, T=100, schedule="cosine")
+    x0, mu = _toy_batch(jax.random.key(8), B=1)
+
+    def oracle_noise(x, t_b):
+        mean = sde.mu_bar(x0, mu, t_b)
+        sbar = sde.sigma_bars[t_b].reshape(-1, 1, 1, 1)
+        return (x - mean) / jnp.maximum(sbar, 1e-8)
+
+    x_T = mu + sde.max_sigma * jax.random.normal(jax.random.key(3), mu.shape)
+    out = sde.ode_sampler(x_T, mu, oracle_noise, rtol=1e-4, atol=1e-4)
+    assert float(jnp.mean(jnp.abs(out - x0))) < 0.05
+
+
 @pytest.mark.parametrize("steps", [5, 10])
 def test_strided_sampling_oracle(steps):
     """Fast sampling over a strided timestep subset still recovers x0 with
