@@ -11,11 +11,13 @@ Prints ONE JSON line:
    "unit": "img/s", "vs_baseline": N}
 
 ``vs_baseline`` is measured throughput / an estimated A100 reference
-throughput. The reference publishes no numbers (BASELINE.md); the estimate is
-derived from its cost structure (100 steps x 2 UNet fwd + 2x4 ScoreMapModule
-text-encoder forwards per step at 224px, unbatched inference, testUM.py
-measures but does not report) — assumed 0.5 img/s on A100. >=10x is the
-driver-defined north star.
+throughput. The reference publishes no numbers and its model modules are
+missing upstream, so the denominator is a FLOP model: 44 TFLOP/image
+(100 steps x 440 GFLOP dual forward at 224px, exact XLA cost analysis)
+divided by a 5-25 TFLOP/s achieved-rate bracket for PyTorch-1.13 eager
+batch-1 sampling on A100 -> 0.11-0.57 img/s, central estimate 0.5 img/s.
+Full derivation with both bounds: BASELINE.md "Derivation of the A100
+reverse-sampling denominator". >=10x is the driver-defined north star.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ import argparse
 import json
 import time
 
-A100_BASELINE_IMG_PER_SEC = 0.5  # documented estimate, see module docstring
+A100_BASELINE_IMG_PER_SEC = 0.5  # central estimate; derivation in BASELINE.md
 
 
 
