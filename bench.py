@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--tiny", action="store_true", help="tiny CPU-debug config")
+    ap.add_argument("--on-device-emb", action="store_true",
+                    help="attach the ViT-B/16 image tower so emb_A is computed "
+                         "on device inside the jitted sampler (BASELINE "
+                         "config 3) instead of fed as a zero placeholder")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -89,6 +93,16 @@ def main():
         )
         res, batch_size = args.res, args.batch
 
+    if args.on_device_emb and not args.tiny:
+        from instancediff_tpu.models.clip_vit import build_image_tower
+
+        tower = build_image_tower(embed_dim=eng.context_dim,
+                                  dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                                  else jnp.float32)
+        tower_params = jax.jit(tower.init)(
+            jax.random.key(3), jnp.zeros((1, args.res, args.res, 1)))
+        eng.attach_image_tower(tower, tower_params)
+
     key = jax.random.key(0)
     mu = jax.random.uniform(key, (batch_size, res, res, 1)) * 2 - 1
     type_idx = jnp.arange(batch_size, dtype=jnp.int32) % 5
@@ -111,12 +125,15 @@ def main():
 
     best = min(times)
     imgs_per_sec = batch_size / best
-    print(json.dumps({
+    record = {
         "metric": "reverse_sampling_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 4),
-    }))
+    }
+    if args.on_device_emb:
+        record["config"] = "on-device-emb"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -31,6 +31,8 @@ def create_dataloader(dataset, dataset_opt, opt=None, sampler=None):
         n_hosts = (opt or {}).get("n_hosts") or 1
         batch_size = dataset_opt["batch_size"]
         assert batch_size % world_size == 0, "batch must divide across replicas"
+        assert batch_size % n_hosts == 0, (
+            f"global batch {batch_size} must divide across {n_hosts} hosts")
         per_host = batch_size // n_hosts
         shuffle = sampler is None
         return DataLoader(

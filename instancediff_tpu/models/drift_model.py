@@ -521,11 +521,40 @@ class CLIPDriftEngine:
         # graph; the standalone kernel costs extra Mosaic compile time and
         # wins nothing at these shapes (measured on v5e).
         use_pallas = getattr(self, "pallas_gn", False) and jax.default_backend() == "tpu"
-        sample_net = (self.drift_net.clone(use_pallas_gn=True)
-                      if use_pallas else self.drift_net)
+        # Fused GN+SiLU+conv Pallas kernel (one HBM pass per conv). Default
+        # OFF: measured 1.14 vs 1.81 img/s end-to-end on v5e — the padded-K
+        # matmuls + per-strip grid overhead + losing the fused-dual vmap cost
+        # more than the saved passes; XLA's in-graph fusion wins at these
+        # shapes (same verdict as the standalone Pallas GN, PERF.md).
+        # Opt-in via ``engine.fused_gnconv = True``.
+        fused_conv = bool(getattr(self, "fused_gnconv", False))
+        fused_conv = fused_conv and jax.default_backend() == "tpu"
+        if fused_conv:
+            fuse_dual = False
+        # Fully width-packed level 0 (ops/packed_l0.py): level-0 activations
+        # stay packed end-to-end so convs/GN/elementwise run at full lane
+        # width with no relayout copies. Exact; composes with the fused-dual
+        # vmap. Default ON on TPU (per-conv packing alone loses to relayout
+        # copies — measured 1.32 img/s — and stays opt-in via
+        # use_packed_conv).
+        packed = getattr(self, "packed_l0", None)
+        if packed is None:
+            packed = jax.default_backend() == "tpu"
+        packed = packed and self.image_size % 2 == 0
+        clone_kw = {}
+        if use_pallas:
+            clone_kw["use_pallas_gn"] = True
+        if fused_conv:
+            clone_kw["use_fused_gnconv"] = True
+        if packed:
+            clone_kw["packed_l0"] = True
+            # sampling never differentiates; remat in the clone would force
+            # the ResBlock kwargs through jax.checkpoint
+            clone_kw["remat"] = False
+        sample_net = self.drift_net.clone(**clone_kw) if clone_kw else self.drift_net
         plain_drift_net = sample_net
-        plain_noise_net = (self.noise_net.clone(use_pallas_gn=True)
-                           if use_pallas else self.noise_net)
+        plain_noise_net = (self.noise_net.clone(**clone_kw)
+                           if clone_kw else self.noise_net)
 
         def sample(dparams, nparams, text_params, mu, type_idx, A_emb, key):
             text_fn = self._make_text_fn(text_params)

@@ -104,7 +104,13 @@ class ScoreMapModule(nn.Module):
     def get_context(self):
         return self.context
 
-    def __call__(self, vis, text_emb):
+    def __call__(self, vis, text_emb, packed=False):
+        """``packed=True``: ``vis`` is the width-packed [B,h,w/2,2C] view
+        (ops/packed_l0.py) and the returned score maps are packed
+        [B,h,w/2,2K] — all projections run block-diagonally so no relayout
+        copies appear (the level-0 fast path; values identical)."""
+        if packed:
+            return self._packed_call(vis, text_emb)
         B, h, w, _ = vis.shape
         K = text_emb.shape[0]
         # pooled memory for the decoder (see max_mem_hw note above)
@@ -127,3 +133,42 @@ class ScoreMapModule(nn.Module):
             + self.bias.astype(vis.dtype)
         )
         return score.reshape(B, h, w, K)
+
+    def _packed_call(self, visp, text_emb):
+        from ..ops.packed_l0 import packed_conv1x1
+
+        B, h, wp, C2 = visp.shape
+        C = C2 // 2
+        K = text_emb.shape[0]
+        w = 2 * wp
+        # pooled memory: pool the packed view with half-width windows, then
+        # average the two parity halves — exact for mean pooling
+        if h > self.max_mem_hw or w > self.max_mem_hw:
+            ph, pw = h // self.max_mem_hw, w // self.max_mem_hw
+            assert pw % 2 == 0, (pw, "packed SMM needs even pool width")
+            pooled2 = nn.avg_pool(visp, (ph, pw // 2), strides=(ph, pw // 2))
+            pooled = 0.5 * (pooled2[..., :C] + pooled2[..., C:])
+        else:
+            pooled = 0.5 * (visp[..., :C] + visp[..., C:])  # pragma: no cover
+        mh, mw = pooled.shape[1], pooled.shape[2]
+        mem_tokens = self.vis_in(pooled.reshape(B, mh * mw, -1))
+        memory = self.mem_proj(mem_tokens)
+        q = jnp.broadcast_to(text_emb[None], (B, K, self.embed_dim)).astype(visp.dtype)
+        for layer in self.decoder:
+            q = layer(q, memory)
+        # block-diagonal vis_in on the packed full-res features
+        w_in = self.vis_in.variables["params"]["kernel"]
+        b_in = self.vis_in.variables["params"]["bias"]
+        tokens = packed_conv1x1(visp.astype(self.dtype),
+                                w_in.astype(self.dtype),
+                                b_in.astype(self.dtype),
+                                segments=[C])  # [B,h,wp,2V]
+        q_vis = self.q_to_vis(self.q_ln(q).astype(visp.dtype))  # [B, K, V]
+        V = q_vis.shape[-1]
+        q2 = jnp.zeros((B, 2 * K, 2 * V), q_vis.dtype)
+        q2 = q2.at[:, :K, :V].set(q_vis).at[:, K:, V:].set(q_vis)
+        score = (
+            jnp.einsum("bhwv,bkv->bhwk", tokens, q2) * self.scale.astype(visp.dtype)
+            + self.bias.astype(visp.dtype)
+        )
+        return score  # packed [B,h,wp,2K]

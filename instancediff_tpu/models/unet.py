@@ -33,7 +33,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
-from ..ops.pallas_kernels import group_norm_silu, group_norm_silu_reference
+from ..ops.packed_conv import packed_conv3x3
+from ..ops import packed_l0 as pk
+from ..ops.pallas_kernels import (
+    fused_gn_silu_conv3x3,
+    gn_channel_affine,
+    group_norm_silu,
+    group_norm_silu_reference,
+)
 from .scoremap import ScoreMapModule
 
 
@@ -74,6 +81,90 @@ class FusedGroupNormSiLU(nn.Module):
             return group_norm_silu(x, scale, bias, self.num_groups, silu=self.silu)
         return group_norm_silu_reference(x, scale, bias, self.num_groups,
                                          silu=self.silu)
+
+
+class PackedConv3x3(nn.Module):
+    """Drop-in nn.Conv((3,3)) replacement computing the conv width-packed
+    (ops/packed_conv.py): identical params and math, ~2x fewer conv cycles
+    at low channel counts on TPU. Exact, differentiable."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        w = self.param("kernel", self.kernel_init, (3, 3, C, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return packed_conv3x3(x.astype(self.dtype), w.astype(self.dtype),
+                              b.astype(self.dtype))
+
+
+class _GNParams(nn.Module):
+    """Param-only stand-in for FusedGroupNormSiLU: declares the identical
+    {scale, bias} leaves so the fused-kernel path shares one checkpoint tree
+    with the module path."""
+
+    @nn.compact
+    def __call__(self, C):
+        return (self.param("scale", nn.initializers.ones, (C,)),
+                self.param("bias", nn.initializers.zeros, (C,)))
+
+
+class _ConvParams(nn.Module):
+    """Param-only stand-in for nn.Conv (3x3): identical {kernel, bias}."""
+
+    out_ch: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, in_ch):
+        k = self.param("kernel", self.kernel_init, (3, 3, in_ch, self.out_ch))
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return k, b
+
+
+class _Conv1x1Params(nn.Module):
+    """Param-only stand-in for nn.Conv((1,1)): identical {kernel, bias}."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, in_ch):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, in_ch, self.out_ch))
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return k, b
+
+
+class _ConvTParams(nn.Module):
+    """Param-only stand-in for nn.ConvTranspose((4,4)): {kernel, bias}."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, in_ch):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (4, 4, in_ch, self.out_ch))
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return k, b
+
+
+class _XAttnBias(nn.Module):
+    """The KV-len-1 cross-attention shortcut reduced to its per-(B,C) bias
+    (softmax over one key == 1 => attention == V): same {v, out} param tree
+    as ContextCrossAttention's shortcut branch."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, context):  # [B, 1, ctx_dim] -> [B, C]
+        v = nn.Dense(self.channels, dtype=self.dtype, name="v")(context)
+        out = nn.Dense(self.channels, dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros, name="out")(v)
+        return out[:, 0]
 
 
 class ContextCrossAttention(nn.Module):
@@ -117,22 +208,35 @@ class ResBlock(nn.Module):
     use_context: bool = False
     context_dim: int = 512
     use_pallas_gn: bool = False
+    use_fused_gnconv: bool = False  # one-pass GN+SiLU+conv Pallas kernel
+    use_packed_conv: bool = False   # width-packed 3x3 convs (low-C levels)
     dtype: jnp.dtype = jnp.float32
 
+    def _conv3(self, features, name, kernel_init=None):
+        kinit = kernel_init or nn.initializers.lecun_normal()
+        if self.use_packed_conv and features < 128:
+            return PackedConv3x3(features, kernel_init=kinit,
+                                 dtype=self.dtype, name=name)
+        return nn.Conv(features, (3, 3), dtype=self.dtype,
+                       kernel_init=kinit, name=name)
+
     @nn.compact
-    def __call__(self, h, temb, context=None):
+    def __call__(self, h, temb, context=None, packed_segments=None):
+        if packed_segments is not None:
+            return self._packed_body(h, temb, context, list(packed_segments))
         in_ch = h.shape[-1]
+        if self.use_fused_gnconv and (context is None or context.shape[1] == 1):
+            return self._fused_body(h, temb, context, in_ch)
         x = FusedGroupNormSiLU(_gn_groups(in_ch), use_pallas=self.use_pallas_gn,
                                name="gns1")(h)
-        x = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv1")(x.astype(self.dtype))
+        x = self._conv3(self.out_ch, "conv1")(x.astype(self.dtype))
         x = x + nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(nn.silu(temb))[
             :, None, None
         ]
         x = FusedGroupNormSiLU(_gn_groups(self.out_ch), use_pallas=self.use_pallas_gn,
                                name="gns2")(x)
-        x = nn.Conv(
-            self.out_ch, (3, 3), dtype=self.dtype, kernel_init=nn.initializers.zeros, name="conv2"
-        )(x.astype(self.dtype))
+        x = self._conv3(self.out_ch, "conv2",
+                        kernel_init=nn.initializers.zeros)(x.astype(self.dtype))
         if in_ch != self.out_ch:
             h = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="skip")(h)
         h = h + x
@@ -141,6 +245,73 @@ class ResBlock(nn.Module):
                 self.out_ch, self.context_dim, dtype=self.dtype, name="xattn"
             )(h, context)
         return h
+
+    def _packed_body(self, hp, temb, context, segments):
+        """Width-packed ResBlock (ops/packed_l0.py): input/output are packed
+        [B,H,W/2,2*C] tensors; identical param tree via the param-holder
+        modules. Inference path (the level-0 blocks are ~44% of sampler
+        time at C=64; packed they run at full MXU/VPU lane width)."""
+        in_ch = sum(segments)
+        g1s, g1b = _GNParams(name="gns1")(in_ch)
+        k1, b1 = _ConvParams(self.out_ch, name="conv1")(in_ch)
+        g2s, g2b = _GNParams(name="gns2")(self.out_ch)
+        k2, b2 = _ConvParams(self.out_ch, kernel_init=nn.initializers.zeros,
+                             name="conv2")(self.out_ch)
+        tb = nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(
+            nn.silu(temb))  # [B, out_ch]
+
+        x = pk.gn_silu_packed(hp, g1s, g1b, _gn_groups(in_ch), segments)
+        x = pk.packed_conv3x3(x.astype(self.dtype), k1.astype(self.dtype),
+                              segments=segments)
+        # conv1 bias + the timestep projection, parity-tiled [B, 2*out_ch]
+        bias1 = (jnp.tile(b1, 2)[None] + jnp.tile(tb, (1, 2))).astype(x.dtype)
+        x = x + bias1[:, None, None, :]
+        x = pk.gn_silu_packed(x, g2s, g2b, _gn_groups(self.out_ch),
+                              [self.out_ch])
+        x = pk.packed_conv3x3(x.astype(self.dtype), k2.astype(self.dtype),
+                              b2.astype(self.dtype), segments=[self.out_ch])
+        if in_ch == self.out_ch and len(segments) == 1:
+            res = hp
+        else:
+            ks, bs = _Conv1x1Params(self.out_ch, name="skip")(in_ch)
+            res = pk.packed_conv1x1(hp.astype(self.dtype),
+                                    ks.astype(self.dtype),
+                                    bs.astype(self.dtype), segments=segments)
+        h = res + x
+        if self.use_context and context is not None:
+            xb = _XAttnBias(self.out_ch, dtype=self.dtype,
+                            name="xattn")(context)  # [B, out_ch]
+            h = h + jnp.tile(xb, (1, 2))[:, None, None, :]
+        return h
+
+    def _fused_body(self, h, temb, context, in_ch):
+        """One HBM pass per conv: normalize coefficients from a cheap stats
+        pass, then the Pallas GN+SiLU+conv kernel with the timestep
+        projection / cross-attn shortcut / residual folded into its
+        epilogue (7 tensor passes vs ~15 unfused — the sampler is
+        traffic-bound, PERF.md). Inference only (no custom VJP)."""
+        g1s, g1b = _GNParams(name="gns1")(in_ch)
+        k1, b1 = _ConvParams(self.out_ch, name="conv1")(in_ch)
+        g2s, g2b = _GNParams(name="gns2")(self.out_ch)
+        k2, b2 = _ConvParams(self.out_ch, kernel_init=nn.initializers.zeros,
+                             name="conv2")(self.out_ch)
+        tb = nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(
+            nn.silu(temb))  # [B, out_ch]
+
+        scale1, shift1 = gn_channel_affine(h, g1s, g1b, _gn_groups(in_ch))
+        bias1 = b1.astype(jnp.float32)[None] + tb.astype(jnp.float32)
+        y1 = fused_gn_silu_conv3x3(h, scale1, shift1, k1, bias1)
+
+        scale2, shift2 = gn_channel_affine(y1, g2s, g2b, _gn_groups(self.out_ch))
+        res = h if in_ch == self.out_ch else nn.Conv(
+            self.out_ch, (1, 1), dtype=self.dtype, name="skip")(h)
+        bias2 = jnp.broadcast_to(b2.astype(jnp.float32)[None],
+                                 (h.shape[0], self.out_ch))
+        if self.use_context and context is not None:
+            bias2 = bias2 + _XAttnBias(
+                self.out_ch, dtype=self.dtype, name="xattn")(context
+                                                             ).astype(jnp.float32)
+        return fused_gn_silu_conv3x3(y1, scale2, shift2, k2, bias2, residual=res)
 
 
 class SelfAttention2D(nn.Module):
@@ -188,6 +359,11 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
     token_embed_dim: int = 512
     num_res_blocks: int = 2
     use_pallas_gn: bool = False
+    use_fused_gnconv: bool = False  # Pallas one-pass GN+SiLU+conv (inference)
+    use_packed_conv: bool = False   # width-packed 3x3 convs at low-C levels
+    packed_l0: bool = False  # fully width-packed level 0 (ops/packed_l0.py,
+    # inference): level-0 activations stay packed end-to-end so convs/GN/
+    # elementwise run at full 128-lane width with zero relayout copies
     remat: bool = False  # rematerialise ResBlocks (training at 224px+ OOMs
     # HBM without it: measured 16.8G/15.75G at B=4 fp32 on v5e)
     dtype: jnp.dtype = jnp.float32
@@ -197,7 +373,12 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         RB = nn.remat(ResBlock) if self.remat else ResBlock
         self.temb_dense0 = nn.Dense(self.nf * 4, dtype=self.dtype)
         self.temb_dense1 = nn.Dense(self.nf * 4, dtype=self.dtype)
-        self.conv_in = nn.Conv(self.nf, (3, 3), dtype=self.dtype)
+        if self.packed_l0:
+            self.conv_in = _ConvParams(self.nf)
+        elif self.use_packed_conv and self.nf < 128:
+            self.conv_in = PackedConv3x3(self.nf, dtype=self.dtype)
+        else:
+            self.conv_in = nn.Conv(self.nf, (3, 3), dtype=self.dtype)
 
         enc = []
         for i, mult in enumerate(self.ch_mult):
@@ -208,14 +389,18 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         use_context=self.use_image_context or self.use_degra_context,
                         context_dim=self.context_dim,
                         use_pallas_gn=self.use_pallas_gn,
+                        use_fused_gnconv=self.use_fused_gnconv,
+                        use_packed_conv=self.use_packed_conv,
                         dtype=self.dtype,
                         name=f"enc_{i}_{j}",
                     )
                 )
         self.enc_blocks = enc
         self.down = [
-            nn.Conv(self.nf * self.ch_mult[i], (3, 3), strides=(2, 2), dtype=self.dtype,
-                    name=f"down_{i}")
+            (_ConvParams(self.nf * self.ch_mult[i], name=f"down_{i}")
+             if (self.packed_l0 and i == 0) else
+             nn.Conv(self.nf * self.ch_mult[i], (3, 3), strides=(2, 2),
+                     dtype=self.dtype, name=f"down_{i}"))
             for i in range(n_levels - 1)
         ]
 
@@ -223,11 +408,15 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         self.mid1 = RB(mid_ch, use_context=self.use_image_context,
                              context_dim=self.context_dim,
                              use_pallas_gn=self.use_pallas_gn,
+                        use_fused_gnconv=self.use_fused_gnconv,
+                        use_packed_conv=self.use_packed_conv,
                              dtype=self.dtype, name="mid1")
         self.mid_attn = SelfAttention2D(dtype=self.dtype, name="mid_attn")
         self.mid2 = RB(mid_ch, use_context=self.use_image_context,
                              context_dim=self.context_dim,
                              use_pallas_gn=self.use_pallas_gn,
+                        use_fused_gnconv=self.use_fused_gnconv,
+                        use_packed_conv=self.use_packed_conv,
                              dtype=self.dtype, name="mid2")
 
         if self.text_module == "scoremap":
@@ -253,7 +442,10 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                     )
                 ]
             self.smm_fuse = [
-                nn.Conv(self.score_map_chan, (1, 1), dtype=self.dtype, name=f"smm_fuse_{i}")
+                (_Conv1x1Params(self.score_map_chan, name=f"smm_fuse_{i}")
+                 if (self.packed_l0 and i == 0) else
+                 nn.Conv(self.score_map_chan, (1, 1), dtype=self.dtype,
+                         name=f"smm_fuse_{i}"))
                 for i in range(len(self.smms))
             ]
 
@@ -266,6 +458,8 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         use_context=self.use_image_context or self.use_degra_context,
                         context_dim=self.context_dim,
                         use_pallas_gn=self.use_pallas_gn,
+                        use_fused_gnconv=self.use_fused_gnconv,
+                        use_packed_conv=self.use_packed_conv,
                         dtype=self.dtype,
                         name=f"dec_{i}_{j}",
                     )
@@ -275,17 +469,31 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         # (0.12 vs 0.42 ms) but LOSES ~9% end-to-end — the resize gather
         # breaks producer fusion inside the scan body (measured both ways)
         self.up = [
-            nn.ConvTranspose(self.nf * self.ch_mult[i], (4, 4), strides=(2, 2),
-                             dtype=self.dtype, name=f"up_{i}")
+            (_ConvTParams(self.nf * self.ch_mult[i], name=f"up_{i}")
+             if (self.packed_l0 and i == 0) else
+             nn.ConvTranspose(self.nf * self.ch_mult[i], (4, 4), strides=(2, 2),
+                              dtype=self.dtype, name=f"up_{i}"))
             for i in range(n_levels - 1)
         ]
-        self.norm_out = FusedGroupNormSiLU(_gn_groups(self.nf),
-                                           use_pallas=self.use_pallas_gn,
-                                           name="norm_out")
-        self.conv_out = nn.Conv(
-            self.out_nc, (3, 3), dtype=self.dtype, kernel_init=nn.initializers.zeros,
-            name="conv_out"
-        )
+        if self.use_fused_gnconv or self.packed_l0:
+            # param-only stand-ins: the out head runs through the fused
+            # Pallas kernel / packed path with the identical checkpoint tree
+            self.norm_out = _GNParams()
+            self.conv_out = _ConvParams(self.out_nc,
+                                        kernel_init=nn.initializers.zeros)
+        else:
+            self.norm_out = FusedGroupNormSiLU(_gn_groups(self.nf),
+                                               use_pallas=self.use_pallas_gn,
+                                               name="norm_out")
+            if self.use_packed_conv:
+                self.conv_out = PackedConv3x3(
+                    self.out_nc, kernel_init=nn.initializers.zeros,
+                    dtype=self.dtype)
+            else:
+                self.conv_out = nn.Conv(
+                    self.out_nc, (3, 3), dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros, name="conv_out"
+                )
 
     def get_smm_contexts(self):
         """Expose each SMM's learnable context so the owning model can run the
@@ -316,6 +524,12 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         if self.use_degra_context and degra_context is not None:
             d = degra_context.astype(self.dtype)
             context = d if context is None else jnp.concatenate([context, d], axis=1)
+
+        if (self.packed_l0 and x_a.shape[2] % 2 == 0
+                and (context is None or context.shape[1] == 1)
+                and self.text_module == "scoremap"):
+            return self._packed_forward(x_a, x_b, temb, context, type_idx,
+                                        text_fn, text_embs)
 
         h = self.conv_in(x.astype(self.dtype))
         skips = []
@@ -357,8 +571,16 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
             if i > 0:
                 h = self.up[i - 1](h)
 
-        h = self.norm_out(h)  # fused GN+SiLU
-        out = self.conv_out(h.astype(self.dtype))  # [B,H,W,out_nc]
+        if self.use_fused_gnconv:
+            gs, gb = self.norm_out(self.nf)
+            ko, bo = self.conv_out(self.nf)
+            scale, shift = gn_channel_affine(h, gs, gb, _gn_groups(self.nf))
+            bias = jnp.broadcast_to(bo.astype(jnp.float32)[None],
+                                    (h.shape[0], self.out_nc))
+            out = fused_gn_silu_conv3x3(h, scale, shift, ko, bias)
+        else:
+            h = self.norm_out(h)  # fused GN+SiLU
+            out = self.conv_out(h.astype(self.dtype))  # [B,H,W,out_nc]
         if self.out_nc > 1:
             pred = jnp.take_along_axis(
                 out, type_idx.reshape(B, 1, 1, 1).astype(jnp.int32), axis=-1
@@ -368,6 +590,111 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         if self.text_module == "scoremap":
             return pred, [m for m in scoremaps if m is not None]
         return pred
+
+    def _packed_forward(self, x_a, x_b, temb, context, type_idx, text_fn,
+                        text_embs):
+        """Fully width-packed level-0 forward (ops/packed_l0.py): level-0
+        activations stay packed [B,H,W/2,2C] end-to-end — convs via exact
+        transformed kernels, GN via folded stats, SMM block-diagonal —
+        so no relayout copies appear. Levels 1..n unchanged. Inference only:
+        level-0 supervision score maps are not emitted (the sampler discards
+        them); training uses the standard path."""
+        B = x_a.shape[0]
+        n_levels = len(self.ch_mult)
+        dt = self.dtype
+
+        xp = jnp.concatenate(
+            [pk.pack_w(x_a.astype(dt)), pk.pack_w(x_b.astype(dt))], axis=-1)
+        kin, bin_ = self.conv_in(self.in_nc)
+        h = pk.packed_conv3x3(xp, kin.astype(dt), bin_.astype(dt),
+                              segments=[1, 1])
+
+        skips = []
+        bi = 0
+        for i in range(n_levels):
+            for _ in range(self.num_res_blocks):
+                if i == 0:
+                    h = self.enc_blocks[bi](
+                        h, temb, context,
+                        packed_segments=[h.shape[-1] // 2])
+                else:
+                    h = self.enc_blocks[bi](h, temb, context)
+                bi += 1
+            skips.append(h)
+            if i < n_levels - 1:
+                if i == 0:
+                    kd, bd = self.down[0](self.nf * self.ch_mult[0])
+                    h = pk.packed_down_conv(h.astype(dt), kd.astype(dt),
+                                            bd.astype(dt))
+                else:
+                    h = self.down[i](h)
+
+        h = self.mid1(h, temb, context)
+        h = self.mid_attn(h)
+        h = self.mid2(h, temb, context)
+
+        scoremaps = [None] * n_levels
+        bi = len(self.dec_blocks)
+        for i in reversed(range(n_levels)):
+            skip = skips[i]
+            if self.if_MultiScoreMap or i == 0:
+                smm_i = i if self.if_MultiScoreMap else 0
+                if text_embs is not None:
+                    te = text_embs[smm_i]
+                elif text_fn is not None:
+                    te = text_fn(self.smms[smm_i].get_context())
+                else:
+                    raise ValueError("scoremap mode needs text_fn or text_embs")
+                if i == 0:
+                    maps_p = self.smms[smm_i](skip, te, packed=True)
+                    kf, bf = self.smm_fuse[smm_i](maps_p.shape[-1] // 2)
+                    fused = pk.packed_conv1x1(
+                        maps_p.astype(dt), kf.astype(dt), bf.astype(dt),
+                        segments=[maps_p.shape[-1] // 2])
+                    skip = jnp.concatenate([skip, fused], axis=-1)
+                else:
+                    maps = self.smms[smm_i](skip, te)
+                    sup = jnp.take_along_axis(
+                        maps, type_idx.reshape(B, 1, 1, 1).astype(jnp.int32),
+                        axis=-1)
+                    scoremaps[i] = sup
+                    skip = jnp.concatenate(
+                        [skip, self.smm_fuse[smm_i](maps)], axis=-1)
+            if i == 0:
+                # h arrives packed from packed_up_conv; segments follow the
+                # logical concat [h(nf), skip(nf), smm(score_map_chan)]
+                h = jnp.concatenate([h, skip], axis=-1)
+                segs = [self.nf, self.nf, self.score_map_chan]
+                bi -= self.num_res_blocks + 1
+                for j in range(self.num_res_blocks + 1):
+                    h = self.dec_blocks[bi + j](
+                        h, temb, context,
+                        packed_segments=segs if j == 0 else [h.shape[-1] // 2])
+            else:
+                h = jnp.concatenate([h, skip], axis=-1)
+                bi -= self.num_res_blocks + 1
+                for j in range(self.num_res_blocks + 1):
+                    h = self.dec_blocks[bi + j](h, temb, context)
+                if i == 1:
+                    ku, bu = self.up[0](h.shape[-1])
+                    h = pk.packed_up_conv(h.astype(dt), ku.astype(dt),
+                                          bu.astype(dt))
+                else:
+                    h = self.up[i - 1](h)
+
+        gs, gb = self.norm_out(self.nf)
+        h = pk.gn_silu_packed(h, gs, gb, _gn_groups(self.nf), [self.nf])
+        ko, bo = self.conv_out(self.nf)
+        out_p = pk.packed_conv3x3(h.astype(dt), ko.astype(dt), bo.astype(dt),
+                                  segments=[self.nf])  # [B,H,Wp,2*out_nc]
+        if self.out_nc > 1:
+            idx = jnp.stack([type_idx, type_idx + self.out_nc], axis=-1)
+            pred_p = jnp.take_along_axis(
+                out_p, idx.reshape(B, 1, 1, 2).astype(jnp.int32), axis=-1)
+        else:
+            pred_p = out_p
+        pred = pk.unpack_w(pred_p)  # [B,H,W,1]
+        return pred, [m for m in scoremaps if m is not None]
 
 
 class LearnableForwardUNet(LearnableForwardUNetMultiScoreMap):

@@ -22,7 +22,10 @@ def dot_product_attention(q, k, v, mask=None, scale=None):
     input dtype (bf16-safe)."""
     d = q.shape[-1]
     scale = (d**-0.5) if scale is None else scale
-    logits = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32) * scale
+    # accumulate the QK product in f32 directly (a post-hoc convert both adds
+    # a node and loses the f32 partials to a bf16 round-trip)
+    logits = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32) * scale
     if mask is not None:
         logits = logits + mask.astype(jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)

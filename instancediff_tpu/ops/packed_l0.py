@@ -1,0 +1,227 @@
+"""Fully width-packed level-0 compute for the UNet (TPU).
+
+The flagship UNet's level-0 runs at C=64 on 256px images: the v5e conv
+emitter fills only half its 128 MXU lanes (measured ~16% utilisation; the
+level-0 blocks are ~44% of sampler step time, PERF.md round 2). Packing two
+adjacent image columns into channels — ``[B,H,W,C] -> [B,H,W/2,2C]`` — runs
+every level-0 conv, GroupNorm and elementwise op at full lane width.
+
+Per-conv packing loses to relayout copies (measured: 51 copies/step,
+16 ms), so level 0 stays packed END-TO-END: the solver state itself is
+packed, and all level-0 ops consume/produce packed tensors via exact kernel
+transforms. Channel layout is "segment parity-major": a concatenation of
+logical segments [C1, C2, ...] is stored as
+``[seg1@col0, seg1@col1, seg2@col0, seg2@col1, ...]`` so packed tensors
+concatenate directly and consumers account for the order in their kernels.
+
+All transforms are mathematically exact (same taps, zero-filled elsewhere);
+tests compare against the plain lax ops bit-for-bit in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_w(x):
+    """[B,H,W,C] -> packed [B,H,W/2,2C] (free row-major view)."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W // 2, 2 * C)
+
+
+def unpack_w(x):
+    """packed [B,H,Wp,2C] -> [B,H,2*Wp,C]."""
+    B, H, Wp, C2 = x.shape
+    return x.reshape(B, H, 2 * Wp, C2 // 2)
+
+
+def seg_offsets(segments: Sequence[int]):
+    offs, base = [], 0
+    for c in segments:
+        offs.append(base)
+        base += c
+    return offs, base
+
+
+def tile_channels(v, segments: Sequence[int]):
+    """Logical per-channel vector [sumC] -> packed segment-parity-major
+    [2*sumC]: [seg1, seg1, seg2, seg2, ...]."""
+    offs, total = seg_offsets(segments)
+    assert v.shape[-1] == total, (v.shape, segments)
+    parts = []
+    for off, c in zip(offs, segments):
+        s = v[..., off:off + c]
+        parts.extend([s, s])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _seg_packed_index(off, c, parity, segments):
+    """Packed index range of (segment offset off, width c, parity)."""
+    offs, _ = seg_offsets(segments)
+    i = offs.index(off)
+    base = 2 * off
+    return base + parity * c
+
+
+def pack_kernel3x3(w, segments: Sequence[int]):
+    """[3,3,sumC,Co] -> packed [3,3,2*sumC,2*Co].
+
+    Output parity po at packed column J (original column 2J+po) reads
+    original column 2(J+j-1)+pi => dx = 2j-2+pi-po, kept iff |dx| <= 1."""
+    kh, kw, Ci, Co = w.shape
+    assert kh == 3 and kw == 3
+    offs, total = seg_offsets(segments)
+    assert Ci == total, (Ci, segments)
+    wp = jnp.zeros((3, 3, 2 * total, 2 * Co), w.dtype)
+    for j in range(3):
+        for pi in range(2):
+            for po in range(2):
+                dx = 2 * j - 2 + pi - po
+                if not -1 <= dx <= 1:
+                    continue
+                for off, c in zip(offs, segments):
+                    row = 2 * off + pi * c
+                    wp = wp.at[:, j, row:row + c,
+                               po * Co:(po + 1) * Co].set(
+                                   w[:, dx + 1, off:off + c])
+    return wp
+
+
+def packed_conv3x3(xp, w, b=None, segments: Sequence[int] | None = None):
+    """3x3 SAME conv on a packed tensor -> packed [.., 2*Co]."""
+    C2 = xp.shape[-1]
+    segments = list(segments) if segments is not None else [C2 // 2]
+    wp = pack_kernel3x3(w, segments)
+    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    yp = jax.lax.conv_general_dilated(xp, wp, (1, 1), "SAME",
+                                      dimension_numbers=dn)
+    if b is not None:
+        yp = yp + jnp.tile(b, 2)
+    return yp
+
+
+def packed_conv1x1(xp, w, b=None, segments: Sequence[int] | None = None):
+    """1x1 conv on packed input -> packed output (block-diagonal kernel)."""
+    C2 = xp.shape[-1]
+    Ci, Co = w.shape[-2], w.shape[-1]
+    segments = list(segments) if segments is not None else [C2 // 2]
+    offs, total = seg_offsets(segments)
+    assert Ci == total
+    w2 = w.reshape(Ci, Co) if w.ndim == 4 else w
+    wp = jnp.zeros((2 * total, 2 * Co), w2.dtype)
+    for parity in range(2):
+        for off, c in zip(offs, segments):
+            row = 2 * off + parity * c
+            wp = wp.at[row:row + c, parity * Co:(parity + 1) * Co].set(
+                w2[off:off + c])
+    yp = xp @ wp
+    if b is not None:
+        yp = yp + jnp.tile(b, 2)
+    return yp
+
+
+def pack_kernel_down(w):
+    """Stride-(2,2) SAME 3x3 conv kernel -> packed-input variant.
+
+    jax SAME with k=3, s=2, in=W pads (0,1), so output col j reads original
+    columns 2j, 2j+1, 2j+2 = packed (j,p0),(j,p1),(j+1,p0): width-2 packed
+    kernel, stride (2,1), padding ((0,1),(0,1)). Output is UNPACKED."""
+    kh, kw, Ci, Co = w.shape
+    assert kh == 3 and kw == 3
+    wp = jnp.zeros((3, 2, 2 * Ci, Co), w.dtype)
+    wp = wp.at[:, 0, 0 * Ci:1 * Ci].set(w[:, 0])   # (j, p0) <- dx 0
+    wp = wp.at[:, 0, 1 * Ci:2 * Ci].set(w[:, 1])   # (j, p1) <- dx 1
+    wp = wp.at[:, 1, 0 * Ci:1 * Ci].set(w[:, 2])   # (j+1, p0) <- dx 2
+    return wp
+
+
+def packed_down_conv(xp, w, b=None):
+    """Stride-2 3x3 SAME conv consuming a packed tensor, emitting the
+    unpacked half-resolution output (the level-0 -> level-1 boundary)."""
+    wp = pack_kernel_down(w)
+    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(xp, wp, (2, 1), ((0, 1), (0, 1)),
+                                     dimension_numbers=dn)
+    return y if b is None else y + b
+
+
+def pack_kernel_up(w):
+    """lax.conv_transpose (4,4)/s2 SAME kernel -> packed-OUTPUT variant.
+
+    Probed convention: input col i contributes w[kw] to output col
+    c = 2i + 2 - kw (the transpose mirrors the kernel). Packed (J,po):
+    c = 2J+po => kw = 2(i-J) + 2 - po. Width-3 window i = J-1+jj:
+      po=0: (jj0, kw0), (jj1, kw2);  po=1: (jj1, kw1), (jj2, kw3).
+    The H axis keeps transpose semantics: kernel flipped along kh,
+    lhs_dilation 2, pad (1,1)."""
+    kh, kw_, Ci, Co = w.shape
+    assert kh == 4 and kw_ == 4
+    # H axis: correlation over the lhs-dilated input gives r = 2i + pl - k;
+    # with pad_lo 2 this matches the transpose's r = 2i + 2 - kh at k == kh,
+    # so the kernel is used unflipped.
+    wp = jnp.zeros((4, 3, Ci, 2 * Co), w.dtype)
+    wp = wp.at[:, 0, :, 0 * Co:1 * Co].set(w[:, 0])
+    wp = wp.at[:, 1, :, 0 * Co:1 * Co].set(w[:, 2])
+    wp = wp.at[:, 1, :, 1 * Co:2 * Co].set(w[:, 1])
+    wp = wp.at[:, 2, :, 1 * Co:2 * Co].set(w[:, 3])
+    return wp
+
+
+def packed_up_conv(x, w, b=None):
+    """ConvTranspose (4,4)/s2 SAME consuming unpacked half-res input,
+    emitting the PACKED full-res output (level-1 -> level-0 boundary)."""
+    wp = pack_kernel_up(w)
+    dn = jax.lax.conv_dimension_numbers(x.shape, wp.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    # H: lhs-dilated by 2, pad (2,2) -> r = 2i + 2 - k (see pack_kernel_up)
+    yp = jax.lax.conv_general_dilated(
+        x, wp, (1, 1), ((2, 2), (1, 1)), lhs_dilation=(2, 1),
+        dimension_numbers=dn)
+    if b is not None:
+        yp = yp + jnp.tile(b, 2)
+    return yp
+
+
+def gn_silu_packed(xp, gamma, beta, num_groups, segments: Sequence[int],
+                   eps=1e-5, silu=True):
+    """GroupNorm(+SiLU) on a packed tensor, exact per-channel statistics.
+
+    Stats: one streaming sum/sumsq over the packed lanes [B, 2*sumC], folded
+    back to logical channels; group reduction via the one-hot matmul;
+    normalize with segment-parity-tiled coefficients."""
+    B = xp.shape[0]
+    offs, total = seg_offsets(segments)
+    G = num_groups
+    Cg = total // G
+    xf = xp.astype(jnp.float32)
+    psum = jnp.sum(xf, axis=(1, 2))      # [B, 2*total]
+    psq = jnp.sum(xf * xf, axis=(1, 2))
+    # fold packed -> logical channel order
+    def fold(v):
+        parts = []
+        for off, c in zip(offs, segments):
+            base = 2 * off
+            parts.append(v[:, base:base + c] + v[:, base + c:base + 2 * c])
+        return jnp.concatenate(parts, axis=-1)  # [B, total]
+    colsum, colsq = fold(psum), fold(psq)
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (total, G), 0) // Cg
+    grp = jax.lax.broadcasted_iota(jnp.int32, (total, G), 1)
+    M = (col_g == grp).astype(jnp.float32)
+    n_el = xp.shape[1] * xp.shape[2] * 2 * Cg
+    mean_g = (colsum @ M) / n_el
+    var_g = (colsq @ M) / n_el - mean_g**2
+    mean_c = mean_g @ M.T
+    rstd_c = jax.lax.rsqrt(var_g + eps) @ M.T
+    scale_c = rstd_c * gamma.astype(jnp.float32)[None]
+    shift_c = beta.astype(jnp.float32)[None] - mean_c * scale_c
+    scale_p = tile_channels(scale_c, segments)
+    shift_p = tile_channels(shift_c, segments)
+    out = xf * scale_p[:, None, None, :] + shift_p[:, None, None, :]
+    if silu:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(xp.dtype)

@@ -41,6 +41,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True)
     parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--sample-steps", type=int, default=None,
+                        help="override test.sample_steps (strided fast "
+                             "sampling; default = config / full T)")
     args = parser.parse_args()
 
     import jax
@@ -68,6 +71,8 @@ def main():
     root_key = jax.random.key(seed)
 
     test_opt = opt["test"] or {}
+    if args.sample_steps is not None:
+        test_opt["sample_steps"] = args.sample_steps
     result_root = test_opt.get("result_dir") or osp.join(
         os.getcwd(), "results", opt.get("name") or "test")
 
@@ -134,6 +139,10 @@ def main():
                               sample_steps=test_opt.get("sample_steps"))
             pred = np.asarray(jax.block_until_ready(pred))
             toc = time.time()
+            # amortised per-sample time (batch wall / batch size). For
+            # batch > 1 this is a THROUGHPUT number (1/img/s), not the
+            # latency of a single sample; the reference's batch is always 1
+            # (testUM.py:141-144) where the two coincide.
             per_sample_t = (toc - tic) / len(batch["names"])
 
             for j, name in enumerate(batch["names"]):
@@ -166,7 +175,8 @@ def main():
         message = name
         for k in ("RMSE", "SSIM", "PSNR"):
             message += f", AVG {k}: {sum(v[k]) / v['num']}"
-        message += f", AVG time: {sum(v['time']) / v['num']:.3f}s"
+        message += (f", AVG time: {sum(v['time']) / v['num']:.3f}s"
+                    f" (amortised per sample; = batch latency only at batch 1)")
         print(message)
     return test_results
 

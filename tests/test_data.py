@@ -55,6 +55,36 @@ def test_dist_iter_sampler_semantics():
     assert len(idx) == 12 and max(idx) < 4
 
 
+def test_multihost_loader_semantics():
+    """Simulated process_count=2: each host gets a DistIterSampler shard and
+    a per-host batch of global/2; per epoch the two hosts' samples are
+    disjoint and cover the epoch permutation exactly once (the multi-host
+    contract behind trainUM --multihost and the n_hosts divisor)."""
+    ds = SyntheticMedDataset(n=8, res=8, seed=0, emb_dim=4)
+    n_hosts, global_batch = 2, 4
+    per_host = global_batch // n_hosts
+    host_indices = {}
+    for rank in range(n_hosts):
+        sampler = DistIterSampler(len(ds), num_replicas=n_hosts, rank=rank)
+        loader = create_dataloader(
+            ds, {"phase": "train", "batch_size": global_batch},
+            opt={"world_size": 1, "n_hosts": n_hosts}, sampler=sampler)
+        loader.set_epoch(1)
+        seen = []
+        for batch in loader:
+            assert batch["input"].shape[0] == per_host
+            seen.extend(batch["LQ_path"])
+        host_indices[rank] = seen
+    all_seen = host_indices[0] + host_indices[1]
+    assert len(all_seen) == len(ds)
+    assert len(set(all_seen)) == len(ds)  # disjoint shards, full coverage
+    # indivisible global batch is rejected
+    with pytest.raises(AssertionError):
+        create_dataloader(ds, {"phase": "train", "batch_size": 5},
+                          opt={"world_size": 1, "n_hosts": 2},
+                          sampler=DistIterSampler(len(ds), 2, 0))
+
+
 def test_synthetic_dataset_contract():
     ds = SyntheticMedDataset(n=5, res=16, seed=0, emb_dim=8)
     item = ds[0]

@@ -1,0 +1,155 @@
+"""Exactness tests for the fully width-packed level-0 ops (ops/packed_l0.py)
+against the plain lax/flax reference ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instancediff_tpu.ops.packed_l0 import (
+    gn_silu_packed,
+    pack_w,
+    packed_conv1x1,
+    packed_conv3x3,
+    packed_down_conv,
+    packed_up_conv,
+    tile_channels,
+    unpack_w,
+)
+from instancediff_tpu.ops.pallas_kernels import group_norm_silu_reference
+
+
+def _conv(x, w, strides=(1, 1), padding="SAME"):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(x, w, strides, padding,
+                                        dimension_numbers=dn)
+
+
+def test_pack_unpack_roundtrip():
+    x = jax.random.normal(jax.random.key(0), (2, 4, 6, 3))
+    np.testing.assert_array_equal(np.asarray(unpack_w(pack_w(x))), np.asarray(x))
+    # the packed view really interleaves columns into channels
+    xp = pack_w(x)
+    np.testing.assert_array_equal(np.asarray(xp[0, 0, 0, :3]), np.asarray(x[0, 0, 0]))
+    np.testing.assert_array_equal(np.asarray(xp[0, 0, 0, 3:]), np.asarray(x[0, 0, 1]))
+
+
+def test_packed_conv3x3_single_segment():
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    w = jax.random.normal(jax.random.key(1), (3, 3, 4, 6)) * 0.3
+    b = jax.random.normal(jax.random.key(2), (6,)) * 0.1
+    ref = _conv(x, w) + b
+    got = unpack_w(packed_conv3x3(pack_w(x), w, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_packed_conv3x3_segments_match_concat():
+    """Two packed tensors concatenated along channels == the conv over the
+    logically concatenated input, via the segment-aware kernel."""
+    a = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    c = jax.random.normal(jax.random.key(1), (1, 8, 8, 2))
+    w = jax.random.normal(jax.random.key(2), (3, 3, 6, 5)) * 0.3
+    ref = _conv(jnp.concatenate([a, c], axis=-1), w)
+    xp = jnp.concatenate([pack_w(a), pack_w(c)], axis=-1)
+    got = unpack_w(packed_conv3x3(xp, w, segments=[4, 2]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_packed_conv1x1_segments():
+    a = jax.random.normal(jax.random.key(0), (1, 6, 8, 4))
+    c = jax.random.normal(jax.random.key(1), (1, 6, 8, 2))
+    w = jax.random.normal(jax.random.key(2), (1, 1, 6, 3)) * 0.4
+    b = jax.random.normal(jax.random.key(3), (3,)) * 0.2
+    ref = _conv(jnp.concatenate([a, c], axis=-1), w) + b
+    xp = jnp.concatenate([pack_w(a), pack_w(c)], axis=-1)
+    got = unpack_w(packed_conv1x1(xp, w, b, segments=[4, 2]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_packed_down_conv():
+    """Stride-2 SAME conv from a packed input == flax nn.Conv semantics."""
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    w = jax.random.normal(jax.random.key(1), (3, 3, 4, 6)) * 0.3
+    ref = _conv(x, w, strides=(2, 2))
+    got = packed_down_conv(pack_w(x), w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_packed_up_conv():
+    """ConvTranspose (4,4)/s2 SAME with packed output == lax.conv_transpose."""
+    x = jax.random.normal(jax.random.key(0), (2, 4, 4, 6))
+    w = jax.random.normal(jax.random.key(1), (4, 4, 6, 3)) * 0.3
+    ref = jax.lax.conv_transpose(
+        x, w, (2, 2), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = unpack_w(packed_up_conv(x, w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize("silu", [True, False])
+def test_gn_silu_packed_single_segment(silu):
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 8)) * 1.5 + 0.3
+    gamma = jax.random.normal(jax.random.key(1), (8,)) * 0.2 + 1.0
+    beta = jax.random.normal(jax.random.key(2), (8,)) * 0.1
+    ref = group_norm_silu_reference(x, gamma, beta, 4, silu=silu)
+    got = unpack_w(gn_silu_packed(pack_w(x), gamma, beta, 4,
+                                  segments=[8], silu=silu))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_gn_silu_packed_segments():
+    a = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    c = jax.random.normal(jax.random.key(1), (2, 8, 8, 2)) + 0.5
+    x = jnp.concatenate([a, c], axis=-1)
+    gamma = jnp.ones((6,)) * 1.1
+    beta = jnp.zeros((6,)) + 0.05
+    ref = group_norm_silu_reference(x, gamma, beta, 3, silu=True)
+    xp = jnp.concatenate([pack_w(a), pack_w(c)], axis=-1)
+    got_p = gn_silu_packed(xp, gamma, beta, 3, segments=[4, 2], silu=True)
+    # unpack segment-wise
+    got = jnp.concatenate([unpack_w(got_p[..., :8]), unpack_w(got_p[..., 8:])],
+                          axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_tile_channels_segments():
+    v = jnp.arange(6.0)
+    out = tile_channels(v, [4, 2])
+    np.testing.assert_array_equal(
+        np.asarray(out),
+        np.asarray(jnp.concatenate([v[:4], v[:4], v[4:], v[4:]])))
+
+
+def test_unet_packed_l0_matches_standard():
+    """A UNet cloned with packed_l0=True on the SAME params must produce
+    identical predictions (the sampler swaps paths via clone)."""
+    from instancediff_tpu.models.unet import LearnableForwardUNetMultiScoreMap
+
+    net = LearnableForwardUNetMultiScoreMap(
+        in_nc=2, out_nc=5, nf=8, ch_mult=(1, 2), context_dim=16,
+        score_map_chan=4, score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, token_embed_dim=16, num_res_blocks=1)
+    B, H = 2, 32
+    x_a = jax.random.normal(jax.random.key(0), (B, H, H, 1))
+    x_b = jax.random.normal(jax.random.key(1), (B, H, H, 1))
+    t = jnp.array([3, 7], jnp.int32)
+    ty = jnp.array([0, 2], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (B, 1, 16)) * 0.1
+    text_embs = [jax.random.normal(jax.random.key(3 + i), (5, 16)) * 0.1
+                 for i in range(2)]
+    params = net.init(jax.random.key(9), x_a, x_b, t, ty,
+                      text_embs=text_embs, image_context=ctx)
+    ref, ref_sms = net.apply(params, x_a, x_b, t, ty,
+                             text_embs=text_embs, image_context=ctx)
+    got, got_sms = net.clone(packed_l0=True).apply(
+        params, x_a, x_b, t, ty, text_embs=text_embs, image_context=ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    # level-0 sup map is skipped in packed mode; higher levels still emitted
+    assert len(got_sms) == len(ref_sms) - 1
+    for a, b in zip(got_sms, ref_sms[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
