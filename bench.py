@@ -111,15 +111,18 @@ def main():
     sample = jax.jit(eng.build_sample_fn())
     dparams, nparams = eng.state["drift"], eng.state["noise"]
 
+    tower_params = eng.image_tower_params
+
     # compile + warmup
-    out = sample(dparams, nparams, eng.text_params, mu, type_idx, a_emb, key)
+    out = sample(dparams, nparams, eng.text_params, mu, type_idx, a_emb, key,
+                 tower_params)
     jax.block_until_ready(out)
 
     times = []
     for r in range(args.repeats):
         t0 = time.perf_counter()
         out = sample(dparams, nparams, eng.text_params, mu, type_idx, a_emb,
-                     jax.random.fold_in(key, r))
+                     jax.random.fold_in(key, r), tower_params)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
 

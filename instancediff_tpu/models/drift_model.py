@@ -556,14 +556,19 @@ class CLIPDriftEngine:
         plain_noise_net = (self.noise_net.clone(**clone_kw)
                            if clone_kw else self.noise_net)
 
-        def sample(dparams, nparams, text_params, mu, type_idx, A_emb, key):
+        def sample(dparams, nparams, text_params, mu, type_idx, A_emb, key,
+                   tparams=None):
+            # tower params arrive as an ARGUMENT (closing over them bakes
+            # ~344MB of ViT weights into the jaxpr as constants — the remote
+            # compiler rejects the payload with HTTP 413)
+            tparams = tower_params if tparams is None else tparams
             text_fn = self._make_text_fn(text_params)
             d_text = [text_fn(c) for c in self._smm_contexts(dparams)]
             n_text = [text_fn(c) for c in self._smm_contexts(nparams)]
             if self.use_image_context and tower is not None:
                 # on-device emb_A: one ViT forward per sample call, outside
                 # the 100-step scan
-                emb = tower.apply(tower_params, mu)
+                emb = tower.apply(tparams, mu)
                 emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-8)
                 img_ctx = emb[:, None, :]
             elif self.use_image_context:
@@ -633,6 +638,7 @@ class CLIPDriftEngine:
         out = self._sample_fn(
             dparams, nparams, self.text_params,
             batch["input"], batch["type_idx"], A_emb, key,
+            self.image_tower_params,
         )
         self.output = out
         return out
