@@ -116,7 +116,9 @@ class CLIPDriftEngine:
         text_encoder_pretrain_path=None,  # schema parity; weights unreleased upstream
         tiny_text_encoder=False,
         remat="auto",  # rematerialise ResBlocks in training (True/False/"auto")
+        packed_train=False,  # width-packed level 0 in the TRAIN step too
     ):
+        self.packed_train = bool(packed_train)
         self.optimize_type = optimize_type
         self.optimize_target = optimize_target
         self.use_image_context = use_image_context
@@ -193,6 +195,11 @@ class CLIPDriftEngine:
                 token_embed_dim=token_embed_dim,
                 num_res_blocks=settings.get("num_res_blocks", 2),
                 remat=self.remat and if_train,
+                # opt-in width-packed level 0 for TRAINING (exact &
+                # differentiable; sampling gets it via clone regardless)
+                packed_l0=bool(getattr(self, "packed_train", False)
+                               and image_size % 2 == 0
+                               and not use_degra_context),
                 dtype=dtype,
             )
 
@@ -779,6 +786,7 @@ def create_CLIPDriftModel(train_opt, model_opt, phase="train", **kwargs):
         text_encoder_pretrain_path=model_opt.get("text_encoder_pretrain_path"),
         tiny_text_encoder=bool(model_opt.get("tiny_text_encoder")),
         tokenizer_vocab_path=model_opt.get("tokenizer_vocab_path"),
+        packed_train=bool(model_opt.get("packed_train")),
         if_train=(phase == "train"),
         **kwargs,
     )

@@ -149,7 +149,9 @@ class ScoreMapModule(nn.Module):
             pooled2 = nn.avg_pool(visp, (ph, pw // 2), strides=(ph, pw // 2))
             pooled = 0.5 * (pooled2[..., :C] + pooled2[..., C:])
         else:
-            pooled = 0.5 * (visp[..., :C] + visp[..., C:])  # pragma: no cover
+            # no pooling: the memory is the full token grid — unpack (small
+            # tensor, <= max_mem_hw^2 tokens; exactness over packing here)
+            pooled = visp.reshape(B, h, wp * 2, C)
         mh, mw = pooled.shape[1], pooled.shape[2]
         mem_tokens = self.vis_in(pooled.reshape(B, mh * mw, -1))
         memory = self.mem_proj(mem_tokens)

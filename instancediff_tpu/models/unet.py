@@ -210,6 +210,9 @@ class ResBlock(nn.Module):
     use_pallas_gn: bool = False
     use_fused_gnconv: bool = False  # one-pass GN+SiLU+conv Pallas kernel
     use_packed_conv: bool = False   # width-packed 3x3 convs (low-C levels)
+    # static input-segment widths for the fully width-packed path (a FIELD,
+    # not a call argument, so nn.remat-wrapped blocks stay traceable)
+    packed_segments: Optional[tuple] = None
     dtype: jnp.dtype = jnp.float32
 
     def _conv3(self, features, name, kernel_init=None):
@@ -221,9 +224,10 @@ class ResBlock(nn.Module):
                        kernel_init=kinit, name=name)
 
     @nn.compact
-    def __call__(self, h, temb, context=None, packed_segments=None):
-        if packed_segments is not None:
-            return self._packed_body(h, temb, context, list(packed_segments))
+    def __call__(self, h, temb, context=None):
+        if self.packed_segments is not None:
+            return self._packed_body(h, temb, context,
+                                     list(self.packed_segments))
         in_ch = h.shape[-1]
         if self.use_fused_gnconv and (context is None or context.shape[1] == 1):
             return self._fused_body(h, temb, context, in_ch)
@@ -391,6 +395,8 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         use_pallas_gn=self.use_pallas_gn,
                         use_fused_gnconv=self.use_fused_gnconv,
                         use_packed_conv=self.use_packed_conv,
+                        packed_segments=((self.nf,) if (self.packed_l0 and i == 0)
+                                         else None),
                         dtype=self.dtype,
                         name=f"enc_{i}_{j}",
                     )
@@ -452,6 +458,11 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         dec = []
         for i, mult in enumerate(self.ch_mult):
             for j in range(self.num_res_blocks + 1):
+                if self.packed_l0 and i == 0:
+                    seg = ((self.nf, self.nf, self.score_map_chan) if j == 0
+                           else (self.nf,))
+                else:
+                    seg = None
                 dec.append(
                     RB(
                         self.nf * mult,
@@ -460,6 +471,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         use_pallas_gn=self.use_pallas_gn,
                         use_fused_gnconv=self.use_fused_gnconv,
                         use_packed_conv=self.use_packed_conv,
+                        packed_segments=seg,
                         dtype=self.dtype,
                         name=f"dec_{i}_{j}",
                     )
@@ -596,9 +608,10 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         """Fully width-packed level-0 forward (ops/packed_l0.py): level-0
         activations stay packed [B,H,W/2,2C] end-to-end — convs via exact
         transformed kernels, GN via folded stats, SMM block-diagonal —
-        so no relayout copies appear. Levels 1..n unchanged. Inference only:
-        level-0 supervision score maps are not emitted (the sampler discards
-        them); training uses the standard path."""
+        so no relayout copies appear. Levels 1..n unchanged. Valid for
+        training too: all ops are exact and differentiable, and the level-0
+        supervision map is emitted (unpacked) for the pyramid loss — XLA
+        dead-code-eliminates it in the sampler, which discards score maps."""
         B = x_a.shape[0]
         n_levels = len(self.ch_mult)
         dt = self.dtype
@@ -613,12 +626,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         bi = 0
         for i in range(n_levels):
             for _ in range(self.num_res_blocks):
-                if i == 0:
-                    h = self.enc_blocks[bi](
-                        h, temb, context,
-                        packed_segments=[h.shape[-1] // 2])
-                else:
-                    h = self.enc_blocks[bi](h, temb, context)
+                h = self.enc_blocks[bi](h, temb, context)
                 bi += 1
             skips.append(h)
             if i < n_levels - 1:
@@ -647,10 +655,18 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                     raise ValueError("scoremap mode needs text_fn or text_embs")
                 if i == 0:
                     maps_p = self.smms[smm_i](skip, te, packed=True)
-                    kf, bf = self.smm_fuse[smm_i](maps_p.shape[-1] // 2)
+                    K = maps_p.shape[-1] // 2
+                    # supervised channel, gathered from both parities then
+                    # unpacked (training loss target; DCE'd when sampling)
+                    sup_idx = jnp.stack([type_idx, type_idx + K], axis=-1)
+                    sup_p = jnp.take_along_axis(
+                        maps_p, sup_idx.reshape(B, 1, 1, 2).astype(jnp.int32),
+                        axis=-1)
+                    scoremaps[i] = pk.unpack_w(sup_p)
+                    kf, bf = self.smm_fuse[smm_i](K)
                     fused = pk.packed_conv1x1(
                         maps_p.astype(dt), kf.astype(dt), bf.astype(dt),
-                        segments=[maps_p.shape[-1] // 2])
+                        segments=[K])
                     skip = jnp.concatenate([skip, fused], axis=-1)
                 else:
                     maps = self.smms[smm_i](skip, te)
@@ -664,12 +680,9 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                 # h arrives packed from packed_up_conv; segments follow the
                 # logical concat [h(nf), skip(nf), smm(score_map_chan)]
                 h = jnp.concatenate([h, skip], axis=-1)
-                segs = [self.nf, self.nf, self.score_map_chan]
                 bi -= self.num_res_blocks + 1
                 for j in range(self.num_res_blocks + 1):
-                    h = self.dec_blocks[bi + j](
-                        h, temb, context,
-                        packed_segments=segs if j == 0 else [h.shape[-1] // 2])
+                    h = self.dec_blocks[bi + j](h, temb, context)
             else:
                 h = jnp.concatenate([h, skip], axis=-1)
                 bi -= self.num_res_blocks + 1

@@ -148,8 +148,55 @@ def test_unet_packed_l0_matches_standard():
         params, x_a, x_b, t, ty, text_embs=text_embs, image_context=ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
-    # level-0 sup map is skipped in packed mode; higher levels still emitted
-    assert len(got_sms) == len(ref_sms) - 1
-    for a, b in zip(got_sms, ref_sms[1:]):
+    # ALL supervision maps match, including level 0 (training parity)
+    assert len(got_sms) == len(ref_sms)
+    for a, b in zip(got_sms, ref_sms):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_packed_train_step_matches_standard():
+    """Engines built with packed_train=True must produce (near-)identical
+    losses and updates from identical seeds — the packed ops are exact and
+    differentiable."""
+    from instancediff_tpu.models.drift_model import CLIPDriftEngine
+    from instancediff_tpu.sde import DriftSDE
+
+    def build(packed):
+        settings = dict(in_nc=2, out_nc=5, nf=8, ch_mult=[1, 2],
+                        context_dim=16, text_module="scoremap",
+                        score_map_chan=4, if_MultiScoreMap=True,
+                        num_res_blocks=1)
+        return CLIPDriftEngine(
+            dnet_settings=settings, nnet_settings=settings,
+            score_map_ch_mult=(1, 1), score_map_ngf=8,
+            use_image_context=True, CLIP_Type="CLIP", tiny_text_encoder=True,
+            sde=DriftSDE(T=2, max_sigma=0.4), image_size=16, nepoch=2,
+            seed=0, packed_train=packed)
+
+    ref_eng, pk_eng = build(False), build(True)
+    # identical initial params (same seed, same param paths)
+    for a, b in zip(jax.tree.leaves(ref_eng.state["drift"]),
+                    jax.tree.leaves(pk_eng.state["drift"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    k = jax.random.key(0)
+    x0 = jax.random.uniform(k, (2, 16, 16, 1)) * 2 - 1
+    mu = x0 + 0.2 * jax.random.normal(jax.random.fold_in(k, 1), x0.shape)
+    batch = {"input": mu, "target": x0,
+             "type_idx": jnp.arange(2, dtype=jnp.int32),
+             "A_emb": jnp.zeros((2, 1, 16))}
+    lr = jnp.asarray(1e-3, jnp.float32)
+    step_key = jax.random.key(7)
+    ref_state, ref_m = jax.jit(ref_eng.build_train_step())(
+        jax.tree.map(jnp.copy, ref_eng.state), batch, step_key,
+        ref_eng.text_params, lr, lr)
+    pk_state, pk_m = jax.jit(pk_eng.build_train_step())(
+        jax.tree.map(jnp.copy, pk_eng.state), batch, step_key,
+        pk_eng.text_params, lr, lr)
+    np.testing.assert_allclose(float(pk_m["l"]), float(ref_m["l"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state["drift"])[:5],
+                    jax.tree.leaves(pk_state["drift"])[:5]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
