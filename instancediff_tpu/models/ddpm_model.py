@@ -65,6 +65,7 @@ class CLIPDDPMEngine:
         self.eta_min = eta_min
         self.sde = sde
         self.clip_type = CLIP_Type
+        self.image_size = image_size
         self.net_settings = dict(net_settings)
         self.context_dim = self.net_settings.get("context_dim", 512)
         self.use_sm = self.net_settings.get("text_module") == "scoremap"
@@ -210,6 +211,14 @@ class CLIPDDPMEngine:
 
     def build_sample_fn(self):
         sde = self.sde
+        # width-packed level 0 for sampling (same rule as CLIPDriftEngine:
+        # exact, TPU-only, even width)
+        packed = getattr(self, "packed_l0", None)
+        if packed is None:
+            packed = jax.default_backend() == "tpu"
+        packed = packed and self.image_size % 2 == 0
+        net = (self.noise_net.clone(packed_l0=True, remat=False)
+               if packed else self.noise_net)
 
         def sample(params, text_params, mu, type_idx, a_emb, key):
             text_fn = self._make_text_fn(text_params)
@@ -218,7 +227,7 @@ class CLIPDDPMEngine:
             img_ctx = a_emb if self.use_image_context else None
 
             def predict(x, t_b):
-                out = self.noise_net.apply(
+                out = net.apply(
                     params, x, mu, t_b, type_idx,
                     text_embs=text_embs, image_context=img_ctx)
                 return out[0] if isinstance(out, tuple) else out

@@ -200,3 +200,29 @@ def test_packed_train_step_matches_standard():
                     jax.tree.leaves(pk_state["drift"])[:5]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_ddpm_packed_sampler_matches_standard():
+    """The DDPM baseline's sampler with packed_l0 forced on equals the
+    standard path (same params, same key)."""
+    from instancediff_tpu.models.ddpm_model import CLIPDDPMEngine
+    from instancediff_tpu.sde import DDPMSDE
+
+    settings = dict(in_nc=2, out_nc=5, nf=8, ch_mult=[1, 2], context_dim=16,
+                    text_module="scoremap", score_map_chan=4, num_res_blocks=1)
+    eng = CLIPDDPMEngine(net_settings=settings, use_image_context=True,
+                         CLIP_Type="CLIP", tiny_text_encoder=True,
+                         sde=DDPMSDE(T=3), image_size=16, seed=0)
+    mu = jax.random.uniform(jax.random.key(1), (2, 16, 16, 1)) * 2 - 1
+    ty = jnp.arange(2, dtype=jnp.int32)
+    emb = jnp.zeros((2, 1, 16))
+    key = jax.random.key(5)
+
+    eng.packed_l0 = False
+    ref = jax.jit(eng.build_sample_fn())(
+        eng.state["noise"], eng.text_params, mu, ty, emb, key)
+    eng.packed_l0 = True
+    got = jax.jit(eng.build_sample_fn())(
+        eng.state["noise"], eng.text_params, mu, ty, emb, key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
