@@ -137,6 +137,41 @@ def test_dp_fsdp_sharded_train_step_matches_single_device(tiny_engine):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_packed_train_dp_fsdp_matches_single_device():
+    """packed_train under dp x fsdp == single device. Notably the packed
+    up-conv is a plain lhs-dilated conv, so this path does not depend on
+    the ConvTranspose partitioner workaround."""
+    from instancediff_tpu.models.drift_model import CLIPDriftEngine
+    from instancediff_tpu.sde import DriftSDE
+
+    settings = dict(in_nc=2, out_nc=5, nf=8, ch_mult=[1, 2], context_dim=16,
+                    text_module="scoremap", score_map_chan=4,
+                    if_MultiScoreMap=True, num_res_blocks=1)
+    eng = CLIPDriftEngine(
+        dnet_settings=settings, nnet_settings=settings,
+        score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, CLIP_Type="CLIP", tiny_text_encoder=True,
+        sde=DriftSDE(T=4, max_sigma=0.4), image_size=16, nepoch=2, seed=0,
+        packed_train=True)
+    mesh = make_mesh(("dp", "fsdp"), (4, 2))
+    k = jax.random.key(1)
+    x0 = jax.random.uniform(k, (4, 16, 16, 1)) * 2 - 1
+    mu = x0 + 0.2 * jax.random.normal(jax.random.fold_in(k, 1), x0.shape)
+    batch = {"input": mu, "target": x0,
+             "type_idx": jnp.arange(4, dtype=jnp.int32) % 5,
+             "A_emb": jnp.zeros((4, 1, 16))}
+    step = jax.jit(eng.build_train_step())
+    lr = jnp.asarray(1e-3, jnp.float32)
+    _, rm = step(jax.tree.map(jnp.copy, eng.state), batch, jax.random.key(0),
+                 eng.text_params, lr, lr)
+    state = {k2: (replicate_tree(mesh, v) if k2 == "step"
+                  else shard_params_fsdp(mesh, v))
+             for k2, v in eng.state.items()}
+    _, m = step(state, shard_batch(mesh, batch), jax.random.key(0),
+                shard_params_fsdp(mesh, eng.text_params), lr, lr)
+    np.testing.assert_allclose(float(m["l"]), float(rm["l"]), rtol=1e-5)
+
+
 def test_fsdp_replicates_conv_transpose_kernels(tiny_engine):
     """The partitioner-bug workaround: every `up_*` leaf must be replicated."""
     mesh = make_mesh(("dp", "fsdp"), (4, 2))
