@@ -236,9 +236,9 @@ class CLIPDDPMEngine:
 
         return sample
 
-    def test(self, batch, key=None, use_ema=True, sample_steps=None):
-        # sample_steps accepted for driver-API parity; the cosine-alpha DDPM
-        # sampler currently runs its full T steps
+    def test(self, batch, key=None, use_ema=True, sample_steps=None, eta=None):
+        # sample_steps/eta accepted for driver-API parity; the cosine-alpha
+        # DDPM sampler currently runs its full T ancestral steps
         if self._sample_fn is None:
             self._sample_fn = jax.jit(self.build_sample_fn())
         key = jax.random.key(0) if key is None else key

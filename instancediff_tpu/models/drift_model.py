@@ -548,6 +548,11 @@ class CLIPDriftEngine:
         if packed is None:
             packed = jax.default_backend() == "tpu"
         packed = packed and self.image_size % 2 == 0
+        if packed:
+            # with full-lane packed convs the stacked-params vmap turns them
+            # into grouped convs and LOSES: 2.33 vs 2.53 img/s measured —
+            # run the two nets sequentially in the packed sampler
+            fuse_dual = False
         clone_kw = {}
         if use_pallas:
             clone_kw["use_pallas_gn"] = True
@@ -629,13 +634,16 @@ class CLIPDriftEngine:
 
         return sample
 
-    def test(self, batch, key=None, use_ema=True, sample_steps=None):
+    def test(self, batch, key=None, use_ema=True, sample_steps=None, eta=None):
         """Restore a batch (reference model.test -> sde.reverse_ddpm,
         drift_noise_model.py:648-652). Returns [B,H,W,1] in [-1,1].
-        ``sample_steps`` < T enables strided fast sampling."""
-        if self._sample_fn is None or sample_steps != self._sample_steps:
-            self._sample_steps = sample_steps
-            self._sample_fn = jax.jit(self.build_sample_fn(sample_steps=sample_steps))
+        ``sample_steps`` < T enables strided fast sampling; ``eta`` scales
+        the ancestral noise (0 = deterministic DDIM-style steps)."""
+        cache_key = (sample_steps, eta)
+        if self._sample_fn is None or cache_key != self._sample_steps:
+            self._sample_steps = cache_key
+            self._sample_fn = jax.jit(
+                self.build_sample_fn(eta=eta, sample_steps=sample_steps))
         key = jax.random.key(0) if key is None else key
         dparams = self.state["d_ema"] if use_ema else self.state["drift"]
         nparams = self.state["n_ema"] if use_ema else self.state["noise"]

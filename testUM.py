@@ -44,6 +44,9 @@ def main():
     parser.add_argument("--sample-steps", type=int, default=None,
                         help="override test.sample_steps (strided fast "
                              "sampling; default = config / full T)")
+    parser.add_argument("--eta", type=float, default=None,
+                        help="override test.eta (ancestral noise scale; "
+                             "0 = deterministic steps)")
     args = parser.parse_args()
 
     import jax
@@ -73,6 +76,8 @@ def main():
     test_opt = opt["test"] or {}
     if args.sample_steps is not None:
         test_opt["sample_steps"] = args.sample_steps
+    if args.eta is not None:
+        test_opt["eta"] = args.eta
     result_root = test_opt.get("result_dir") or osp.join(
         os.getcwd(), "results", opt.get("name") or "test")
 
@@ -136,7 +141,8 @@ def main():
             tic = time.time()
             pred = model.test(device_batch, jax.random.fold_in(root_key, i),
                               use_ema=use_ema,
-                              sample_steps=test_opt.get("sample_steps"))
+                              sample_steps=test_opt.get("sample_steps"),
+                              eta=test_opt.get("eta"))
             pred = np.asarray(jax.block_until_ready(pred))
             toc = time.time()
             # amortised per-sample time (batch wall / batch size). For
