@@ -140,4 +140,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:  # transient after another process frees the chip
+        if "known backends" not in str(e):
+            raise
+        time.sleep(30)
+        main()
