@@ -630,7 +630,8 @@ class CLIPDriftEngine:
 
             return sde.reverse_ddpm(key, mu, predict, eta=eta,
                                     noise_init=noise_init,
-                                    sample_steps=sample_steps)
+                                    sample_steps=sample_steps,
+                                    unroll=int(getattr(self, "scan_unroll", 1)))
 
         return sample
 
