@@ -57,6 +57,11 @@ def main():
                          "on device inside the jitted sampler (BASELINE "
                          "config 3) instead of fed as a zero placeholder")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="load trained weight bundles (e.g. "
+                         "experiments/flagship_224/models) so the benched "
+                         "graph runs real weights instead of random init")
+    ap.add_argument("--ckpt-iter", default="latest")
     args = ap.parse_args()
 
     import jax
@@ -109,7 +114,11 @@ def main():
     a_emb = jnp.zeros((batch_size, 1, eng.context_dim))
 
     sample = jax.jit(eng.build_sample_fn())
-    dparams, nparams = eng.state["drift"], eng.state["noise"]
+    if args.ckpt_dir:
+        eng.load(args.ckpt_dir, args.ckpt_iter, load_ema=True)
+        dparams, nparams = eng.state["d_ema"], eng.state["n_ema"]
+    else:
+        dparams, nparams = eng.state["drift"], eng.state["noise"]
 
     tower_params = eng.image_tower_params
 

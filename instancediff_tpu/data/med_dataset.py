@@ -50,16 +50,22 @@ def normalize_pair(a_img, b_img, name):
 class SpeckleMedDataset:
     def __init__(self, data_flist, phase="train", max_dataset_size=1_000_000,
                  opt=None, use_artifact_type=(), resolution=224,
-                 type_map_ind=None, emb_dim=512):
+                 type_map_ind=None, emb_dim=512, gt_only=False):
         self.opt = opt
         self.resolution = resolution
         self.emb_dim = emb_dim
         self.type_map_ind = dict(type_map_ind or DEFAULT_TYPE_MAP)
+        # gt_only: records carry only clean images (no "A" files on disk);
+        # the engine synthesises LQ on-device (models.<name>.degrade_on_device,
+        # SURVEY SS2.10 "hosts stream raw arrays; degradations fused on-TPU")
+        self.gt_only = bool(gt_only)
         with open(data_flist) as f:
             records = json.load(f)[phase]
         if use_artifact_type:
             records = [r for r in records if r["name"] in use_artifact_type]
         self.df = records[: int(max_dataset_size)]
+        if not self.gt_only and any("A" not in r for r in self.df):
+            self.gt_only = True  # index itself is GT-only
 
     def __len__(self):
         return len(self.df)
@@ -76,8 +82,11 @@ class SpeckleMedDataset:
         per_img = res * res
         names = [it["name"] for it in items]
         modes = [native_io.mode_for(n) for n in names]
-        a = native_io.read_batch([it["A"] for it in items], per_img, modes)
         b = native_io.read_batch([it["B"] for it in items], per_img, modes)
+        if self.gt_only:
+            a = b.copy()  # placeholder; engine degrades on device
+        else:
+            a = native_io.read_batch([it["A"] for it in items], per_img, modes)
         embs = []
         raw = native_io.MODES["raw"]
         emb_paths = [it.get("A_emb") or it.get("emb_A") for it in items]
@@ -98,15 +107,18 @@ class SpeckleMedDataset:
             "type_idx": np.asarray(
                 [self.type_map_ind.get(n, 0) for n in names], dtype=np.int32),
             "names": names,
-            "LQ_path": [it["A"] for it in items],
+            "LQ_path": [it.get("A", it["B"]) for it in items],
             "GT_path": [it["B"] for it in items],
         }
 
     def __getitem__(self, index):
         item = self.df[index]
         res = self.resolution
-        a_img = np.fromfile(item["A"], dtype=np.float32).reshape(res, res, 1)
         b_img = np.fromfile(item["B"], dtype=np.float32).reshape(res, res, 1)
+        if self.gt_only:
+            a_img = b_img.copy()  # placeholder; engine degrades on device
+        else:
+            a_img = np.fromfile(item["A"], dtype=np.float32).reshape(res, res, 1)
         if item.get("A_emb") or item.get("emb_A"):
             emb_path = item.get("A_emb") or item.get("emb_A")
             a_emb = np.fromfile(emb_path, dtype=np.float32).reshape(1, -1)
@@ -117,7 +129,7 @@ class SpeckleMedDataset:
         return {
             "LQ": a_img.astype(np.float32),
             "GT": b_img.astype(np.float32),
-            "LQ_path": item["A"],
+            "LQ_path": item.get("A", item["B"]),
             "GT_path": item["B"],
             "name": name,
             "A_emb": a_emb,
@@ -140,4 +152,5 @@ def create_SpeckleMedDataset(params):
         resolution=params.get("resolution") or 224,
         type_map_ind=params.get("type_map_ind"),
         emb_dim=params.get("emb_dim") or 512,
+        gt_only=bool(params.get("gt_only")),
     )

@@ -35,23 +35,33 @@ def make_phantom(rng, res=224):
     return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
+def degrade_with_key(key, clean01, name):
+    """Host-side degradation delegating to ``ops.degradations`` — the SINGLE
+    source of truth for the degradation math (the on-device train-step path,
+    ``apply_degradation``, runs the identical function; see
+    tests/test_degrade_on_device.py for the proven host==device equivalence).
+    Input [0,1] intensity, output [0,1] (files store clipped intensity; the
+    device path leaves Gaussian tails unclipped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.degradations import apply_degradation
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        x = jnp.asarray(clean01, jnp.float32)[None, ..., None] * 2.0 - 1.0
+        idx = jnp.full((1,), DEFAULT_TYPE_MAP[name], jnp.int32)
+        y = apply_degradation(key, x, idx)
+    out01 = (np.asarray(y)[0, ..., 0] + 1.0) / 2.0
+    return np.clip(out01, 0.0, 1.0).astype(np.float32)
+
+
 def degrade(rng, clean01, name):
-    """Host-side degradation matching ops/degradations.py semantics."""
-    if name == "speckle in OCT":
-        out = clean01 * (1.0 + 0.35 * rng.standard_normal(clean01.shape).astype(np.float32))
-    elif name == "speckle in ultra sound":
-        out = clean01 * (1.0 + 0.25 * rng.standard_normal(clean01.shape).astype(np.float32))
-    elif name == "noise in cryo-EM image":
-        out = clean01 + 0.20 * rng.standard_normal(clean01.shape).astype(np.float32)
-    elif name == "noise in low dose CT":
-        n0 = 2500.0
-        counts = np.maximum(n0 * np.exp(-clean01)
-                            + np.sqrt(n0 * np.exp(-clean01))
-                            * rng.standard_normal(clean01.shape).astype(np.float32), 1.0)
-        out = -np.log(counts / n0)
-    else:  # Gaussian noise in MRI
-        out = clean01 + 0.10 * rng.standard_normal(clean01.shape).astype(np.float32)
-    return np.clip(out, 0.0, 1.0).astype(np.float32)
+    """Degrade with a numpy-Generator-derived PRNG key (dataset-generation
+    convenience over ``degrade_with_key``)."""
+    import jax
+
+    key = jax.random.key(int(rng.integers(2**31 - 1)))
+    return degrade_with_key(key, clean01, name)
 
 
 class SyntheticMedDataset:
@@ -104,9 +114,12 @@ def make_synthetic_dataset(params):
 
 
 def write_synthetic_index(root, n_train=8, n_val=2, n_test=2, res=224,
-                          artifact_types=None, seed=0, emb_dim=512):
+                          artifact_types=None, seed=0, emb_dim=512,
+                          gt_only=False):
     """Write raw-f32 files + dataset_file.json in the MedSpeckle schema so the
-    standard file-based loaders/drivers run without upstream assets."""
+    standard file-based loaders/drivers run without upstream assets.
+    ``gt_only``: write clean images only (no *_A.raw) — for the on-device
+    degradation pipeline (``datasets.*.gt_only`` + ``degrade_on_device``)."""
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
     types = list(artifact_types or ARTIFACTS)
@@ -116,16 +129,20 @@ def write_synthetic_index(root, n_train=8, n_val=2, n_test=2, res=224,
         for i in range(n):
             name = types[counter % len(types)]
             clean = make_phantom(rng, res)
-            deg = degrade(rng, clean, name)
+            deg = None if gt_only else degrade(rng, clean, name)
             if name == "noise in cryo-EM image":
-                clean, deg = clean * 255.0, deg * 255.0
-            a_path = os.path.join(root, f"{split}_{i}_A.raw")
+                clean = clean * 255.0
+                deg = None if deg is None else deg * 255.0
             b_path = os.path.join(root, f"{split}_{i}_B.raw")
             e_path = os.path.join(root, f"{split}_{i}_emb.raw")
-            deg.astype(np.float32).tofile(a_path)
             clean.astype(np.float32).tofile(b_path)
             (rng.standard_normal(emb_dim).astype(np.float32) * 0.02).tofile(e_path)
-            index[split].append({"A": a_path, "B": b_path, "A_emb": e_path, "name": name})
+            rec = {"B": b_path, "A_emb": e_path, "name": name}
+            if deg is not None:
+                a_path = os.path.join(root, f"{split}_{i}_A.raw")
+                deg.astype(np.float32).tofile(a_path)
+                rec["A"] = a_path
+            index[split].append(rec)
             counter += 1
     index_path = os.path.join(root, "dataset_file.json")
     with open(index_path, "w") as f:

@@ -56,8 +56,16 @@ class CLIPDDPMEngine:
         if_train=True,
         tiny_text_encoder=False,
         tokenizer_vocab_path=None,
-        text_encoder_pretrain_path=None,  # schema parity; unreleased upstream
+        text_encoder_pretrain_path=None,  # torch ckpt converted when present
+        engine_opts=None,  # perf knobs (drift_model.ENGINE_KNOBS subset)
     ):
+        from .drift_model import ENGINE_KNOBS
+
+        for k, v in dict(engine_opts or {}).items():
+            if k not in ENGINE_KNOBS:
+                raise KeyError(
+                    f"unknown engine knob {k!r}; valid: {sorted(ENGINE_KNOBS)}")
+            setattr(self, k, v)
         self.use_image_context = use_image_context
         self.use_degra_context = use_degra_context
         self.nepoch = nepoch
@@ -97,6 +105,9 @@ class CLIPDDPMEngine:
         else:
             self.text_params = jax.jit(
                 lambda kk: self.text_encoder.init(kk, self.prompt_ids, probe_ctx))(k_text)
+        from .drift_model import _maybe_load_text_pretrain
+        self.text_params = _maybe_load_text_pretrain(
+            self.text_params, text_encoder_pretrain_path, tok_kind)
 
         self.noise_net = LearnableForwardUNetMultiScoreMap(
             in_nc=self.net_settings.get("in_nc", 2),
@@ -112,6 +123,9 @@ class CLIPDDPMEngine:
             use_degra_context=use_degra_context,
             token_embed_dim=token_embed_dim,
             num_res_blocks=self.net_settings.get("num_res_blocks", 2),
+            # same remat rule as the drift engine: activations at >=128px
+            # exceed HBM in the backward without ResBlock rematerialisation
+            remat=(image_size >= 128) and if_train,
             dtype=dtype,
         )
         self.n_scales = 1
@@ -209,7 +223,7 @@ class CLIPDDPMEngine:
         self._record_losses({k: float(v) for k, v in metrics.items()})
         return float(metrics["l"])
 
-    def build_sample_fn(self):
+    def build_sample_fn(self, sample_steps=None, eta=None):
         sde = self.sde
         # width-packed level 0 for sampling (same rule as CLIPDriftEngine:
         # exact, TPU-only, even width)
@@ -232,15 +246,20 @@ class CLIPDDPMEngine:
                     text_embs=text_embs, image_context=img_ctx)
                 return out[0] if isinstance(out, tuple) else out
 
-            return sde.reverse_ddpm(key, mu, predict)
+            return sde.reverse_ddpm(key, mu, predict,
+                                    sample_steps=sample_steps, eta=eta)
 
         return sample
 
     def test(self, batch, key=None, use_ema=True, sample_steps=None, eta=None):
-        # sample_steps/eta accepted for driver-API parity; the cosine-alpha
-        # DDPM sampler currently runs its full T ancestral steps
-        if self._sample_fn is None:
-            self._sample_fn = jax.jit(self.build_sample_fn())
+        """``sample_steps < T`` runs the strided DDIM-family sampler (shares
+        the grid/posterior machinery family with DriftSDE strided sampling);
+        ``eta`` scales the fresh-noise std (default 1 == exact ancestral)."""
+        cache_key = (sample_steps, eta)
+        if self._sample_fn is None or getattr(self, "_sample_cfg", None) != cache_key:
+            self._sample_cfg = cache_key
+            self._sample_fn = jax.jit(
+                self.build_sample_fn(sample_steps=sample_steps, eta=eta))
         key = jax.random.key(0) if key is None else key
         params = self.state["n_ema"] if use_ema else self.state["noise"]
         a_emb = batch.get("A_emb")
@@ -360,6 +379,7 @@ def create_CLIPDDPMModel(train_opt, model_opt, phase="train", **kwargs):
         tiny_text_encoder=bool(model_opt.get("tiny_text_encoder")),
         tokenizer_vocab_path=model_opt.get("tokenizer_vocab_path"),
         text_encoder_pretrain_path=model_opt.get("text_encoder_pretrain_path"),
+        engine_opts=model_opt.get("engine"),
         if_train=(phase == "train"),
         **kwargs,
     )

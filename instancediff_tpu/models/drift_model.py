@@ -34,6 +34,30 @@ import optax
 from ..ops.resize import downsample_label
 from ..sde.drift_sde import DriftSDE
 from .text_encoder import build_text_encoder
+
+
+# YAML-reachable perf knobs (``models.<name>.engine:`` block). Semantics and
+# measured effects are logged in PERF.md; all default off/1.
+ENGINE_KNOBS = frozenset(
+    {"pallas_gn", "fused_gnconv", "scan_unroll", "fuse_dual_train", "packed_l0"}
+)
+
+
+def _maybe_load_text_pretrain(text_params, pretrain_path, tok_kind):
+    """Initialise the frozen text tower from a torch checkpoint when the asset
+    exists (reference drift_noise_model.py:71-90: BiomedCLIP ->
+    ``HFContextTextEncoder.init_weights``, CLIP -> ``ViT-B-32.pt`` via
+    ``CLIPTextContextEncoder.init_weights``). Missing/None paths keep the
+    random frozen init (upstream ships no weights)."""
+    import os
+
+    if not pretrain_path or not os.path.isfile(str(pretrain_path)):
+        return text_params
+    from .text_encoder import load_torch_bert_weights, load_torch_clip_text_weights
+
+    if tok_kind == "bert":
+        return load_torch_bert_weights(text_params, str(pretrain_path))
+    return load_torch_clip_text_weights(text_params, str(pretrain_path))
 from .tokenizer import BertWordPieceTokenizer, ClipBPETokenizer, default_vocab_path
 from .unet import LearnableForwardUNetMultiScoreMap
 
@@ -113,12 +137,20 @@ class CLIPDriftEngine:
         dtype=jnp.float32,
         if_train=True,
         tokenizer_vocab_path=None,
-        text_encoder_pretrain_path=None,  # schema parity; weights unreleased upstream
+        text_encoder_pretrain_path=None,  # torch ckpt converted when present
         tiny_text_encoder=False,
         remat="auto",  # rematerialise ResBlocks in training (True/False/"auto")
         packed_train=False,  # width-packed level 0 in the TRAIN step too
+        engine_opts=None,  # perf knobs (PERF.md): see ENGINE_KNOBS
+        degrade_on_device=False,  # GT-only pipeline: degrade inside the step
     ):
         self.packed_train = bool(packed_train)
+        self.degrade_on_device = bool(degrade_on_device)
+        for k, v in dict(engine_opts or {}).items():
+            if k not in ENGINE_KNOBS:
+                raise KeyError(
+                    f"unknown engine knob {k!r}; valid: {sorted(ENGINE_KNOBS)}")
+            setattr(self, k, v)
         self.optimize_type = optimize_type
         self.optimize_target = optimize_target
         self.use_image_context = use_image_context
@@ -174,6 +206,8 @@ class CLIPDriftEngine:
             self.text_params = jax.jit(
                 lambda kk: self.text_encoder.init(kk, self.prompt_ids, n_ctx_probe)
             )(k_text)
+        self.text_params = _maybe_load_text_pretrain(
+            self.text_params, text_encoder_pretrain_path, tok_kind)
 
         self.remat = (image_size >= 128) if remat == "auto" else bool(remat)
 
@@ -406,6 +440,18 @@ class CLIPDriftEngine:
         sde = self.sde
 
         def train_step(state, batch, key, text_params, lr_d, lr_n):
+            if self.degrade_on_device:
+                # GT-only input pipeline (SURVEY SS2.10 north star): hosts
+                # stream clean targets; the LQ conditioning image is synthesised
+                # on-TPU inside this jitted step, fused with the first
+                # diffusion ops (reference host-side semantics:
+                # utils/deg_utils.py:13-40)
+                from ..ops.degradations import apply_degradation
+
+                key, k_deg = jax.random.split(key)
+                batch = dict(batch)
+                batch["input"] = apply_degradation(
+                    k_deg, batch["target"], batch["type_idx"])
             t, x_t, _, std_noise, _ = sde.forward_diffusion(
                 key, batch["target"], batch["input"]
             )
@@ -646,6 +692,15 @@ class CLIPDriftEngine:
             self._sample_fn = jax.jit(
                 self.build_sample_fn(eta=eta, sample_steps=sample_steps))
         key = jax.random.key(0) if key is None else key
+        if self.degrade_on_device and "target" in batch:
+            # GT-only dataset: the LQ conditioning image does not exist on
+            # disk — synthesise it on device (same op as the train step)
+            from ..ops.degradations import apply_degradation
+
+            key, k_deg = jax.random.split(key)
+            batch = dict(batch)
+            batch["input"] = jax.jit(apply_degradation)(
+                k_deg, batch["target"], batch["type_idx"])
         dparams = self.state["d_ema"] if use_ema else self.state["drift"]
         nparams = self.state["n_ema"] if use_ema else self.state["noise"]
         A_emb = batch.get("A_emb")
@@ -796,6 +851,8 @@ def create_CLIPDriftModel(train_opt, model_opt, phase="train", **kwargs):
         tiny_text_encoder=bool(model_opt.get("tiny_text_encoder")),
         tokenizer_vocab_path=model_opt.get("tokenizer_vocab_path"),
         packed_train=bool(model_opt.get("packed_train")),
+        degrade_on_device=bool(model_opt.get("degrade_on_device")),
+        engine_opts=model_opt.get("engine"),
         if_train=(phase == "train"),
         **kwargs,
     )

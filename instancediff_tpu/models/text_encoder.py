@@ -50,13 +50,15 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         act = quick_gelu if self.act == "quick_gelu" else jax.nn.gelu
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x)
+        # eps=1e-5: torch nn.LayerNorm default (OpenAI CLIP / timm ViT) — keeps
+        # converted checkpoints numerically exact
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         q = nn.Dense(self.width, dtype=self.dtype, name="q_proj")(h)
         k = nn.Dense(self.width, dtype=self.dtype, name="k_proj")(h)
         v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(h)
         attn = multi_head_attention(q, k, v, self.heads, mask=mask)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(int(self.width * self.mlp_ratio), dtype=self.dtype, name="fc")(h)
         h = act(h)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="proj")(h)
@@ -105,7 +107,7 @@ class CLIPTextContextEncoder(nn.Module):
             x = TransformerBlock(
                 self.width, self.heads, act="quick_gelu", dtype=self.dtype, name=f"block_{i}"
             )(x, mask=causal)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
         pooled = x[jnp.arange(K), eos_pos]  # EOT-position pooling (:881)
         out = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype, name="text_projection")(
             pooled
@@ -113,14 +115,53 @@ class CLIPTextContextEncoder(nn.Module):
         return out
 
 
+def exact_gelu(x):
+    """erf-based GELU (HF BERT 'gelu' / torch nn.GELU default)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+class PostLNBertLayer(nn.Module):
+    """Post-LN BERT encoder layer — standard HF BertLayer semantics, which is
+    what the reference's ``modified_BertModel`` runs (its forward delegates to
+    the stock BertEncoder; the modified-embeddings override is commented out,
+    _modified_BiomedCLIP.py:1077-1080):
+
+      x = LayerNorm(x + out_proj(attn(x)))     # attention.output.LayerNorm
+      x = LayerNorm(x + proj(gelu(fc(x))))     # output.LayerNorm
+
+    eps=1e-12 (HF BertConfig default), exact erf GELU, fp32 softmax."""
+
+    width: int
+    heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        q = nn.Dense(self.width, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.width, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(x)
+        attn = multi_head_attention(q, k, v, self.heads, mask=mask)
+        h = nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="attn_ln")(x + h)
+        h = nn.Dense(int(self.width * self.mlp_ratio), dtype=self.dtype, name="fc")(x)
+        h = exact_gelu(h)
+        h = nn.Dense(self.width, dtype=self.dtype, name="proj")(h)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ffn_ln")(x + h)
+        return x
+
+
 class HFContextTextEncoder(nn.Module):
     """PubMedBERT text tower with context splicing (reference :885-1015).
 
     ``__call__(ids [K, L], attn_mask [K, L], context [n_ctx, hidden] | None)
-    -> [K, proj_dim]``. Context embeddings are inserted after [CLS]
-    (:951-958); the attention mask covers [CLS] + context + text (:960-991);
-    pooling takes the [CLS] last hidden state and projects 768 -> 512 through
-    a GELU MLP (:934-940)."""
+    -> [K, proj_dim]``. Post-LN BERT encoder (``modified_BertModel`` is stock
+    HF BertModel — see PostLNBertLayer). Context embeddings are inserted after
+    [CLS], *extending* the sequence to L+n_ctx (token_embedding, :951-958 —
+    no truncation, unlike the CLIP tower); the attention mask is
+    [mask[CLS], ones(n_ctx), mask[text 1:]] (:968-971); pooling takes the
+    [CLS] last hidden state (ClsLastHiddenStatePooler) and projects 768 -> 512
+    through a bias-free GELU MLP (:934-940)."""
 
     context_length: int = 256
     vocab_size: int = 30522
@@ -140,12 +181,13 @@ class HFContextTextEncoder(nn.Module):
         if context is not None:
             n_ctx = context.shape[0]
             ctx = jnp.broadcast_to(context[None], (K, n_ctx, self.hidden)).astype(tok.dtype)
-            x = jnp.concatenate([tok[:, :1], ctx, tok[:, 1 : L - n_ctx]], axis=1)
+            # reference extends to L+n_ctx: [CLS, context..., text...] (:957)
+            x = jnp.concatenate([tok[:, :1], ctx, tok[:, 1:]], axis=1)
             mask = jnp.concatenate(
                 [
                     attn_mask[:, :1],
                     jnp.ones((K, n_ctx), attn_mask.dtype),
-                    attn_mask[:, 1 : L - n_ctx],
+                    attn_mask[:, 1:],
                 ],
                 axis=1,
             )
@@ -160,18 +202,19 @@ class HFContextTextEncoder(nn.Module):
             "token_type_embeddings", nn.initializers.normal(0.02), (2, self.hidden)
         )
         x = x + pos[None, : x.shape[1]].astype(x.dtype) + ttype[0][None, None].astype(x.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, name="embeddings_ln")(x)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="embeddings_ln")(x)
 
         # additive mask: [K, 1(q), L(k)] broadcast over heads
         add_mask = jnp.where(mask[:, None, :] > 0, 0.0, -jnp.inf)
         for i in range(self.layers):
-            x = TransformerBlock(
-                self.hidden, self.heads, act="gelu", dtype=self.dtype, name=f"layer_{i}"
+            x = PostLNBertLayer(
+                self.hidden, self.heads, dtype=self.dtype, name=f"layer_{i}"
             )(x, mask=add_mask)
         cls = x[:, 0]  # ClsLastHiddenStatePooler (:934-940)
-        h = nn.Dense((self.hidden + self.proj_dim) // 2, dtype=self.dtype, name="proj_fc1")(cls)
-        h = jax.nn.gelu(h)
-        out = nn.Dense(self.proj_dim, dtype=self.dtype, name="proj_fc2")(h)
+        h = nn.Dense((self.hidden + self.proj_dim) // 2, use_bias=False,
+                     dtype=self.dtype, name="proj_fc1")(cls)
+        h = exact_gelu(h)
+        out = nn.Dense(self.proj_dim, use_bias=False, dtype=self.dtype, name="proj_fc2")(h)
         return out
 
 
@@ -258,27 +301,100 @@ def load_torch_bert_weights(params, checkpoint_path_or_sd, prefix="text."):
             if w is not None:
                 blk[ours]["kernel"] = to_np(w).T
                 blk[ours]["bias"] = to_np(sd[L + hf + ".bias"])
-        # pre-LN mapping: HF BERT is post-LN; attention.output.LayerNorm maps
-        # onto ln_2 and output.LayerNorm onto the next block's ln_1 — a known
-        # architectural mismatch. We map attention LN -> ln_1 and output LN ->
-        # ln_2 as the closest functional placement and document the residual
-        # discrepancy (exact parity requires trained finetuning anyway since
-        # upstream ships no weights).
-        for hf, ours in (("attention.output.LayerNorm", "ln_1"),
-                         ("output.LayerNorm", "ln_2")):
+        # exact post-LN mapping: PostLNBertLayer mirrors HF BertLayer
+        for hf, ours in (("attention.output.LayerNorm", "attn_ln"),
+                         ("output.LayerNorm", "ffn_ln")):
             w = get(L + hf + ".weight")
             if w is not None:
                 blk[ours]["scale"] = to_np(w)
                 blk[ours]["bias"] = to_np(sd[L + hf + ".bias"])
         i += 1
 
-    # projection head (open_clip 'proj' mlp: text.proj.0 / text.proj.2)
+    # projection head (open_clip 'proj' mlp: text.proj.0 / text.proj.2,
+    # bias-free Linears — _modified_BiomedCLIP.py:936-940)
     w = get(prefix + "proj.0.weight")
     if w is not None:
         inner["proj_fc1"]["kernel"] = to_np(w).T
-        inner["proj_fc1"]["bias"] = to_np(sd[prefix + "proj.0.bias"])
     w = get(prefix + "proj.2.weight")
     if w is not None:
         inner["proj_fc2"]["kernel"] = to_np(w).T
-        inner["proj_fc2"]["bias"] = to_np(sd[prefix + "proj.2.bias"])
+    return new
+
+
+def load_torch_clip_text_weights(params, checkpoint_path_or_sd):
+    """Convert an OpenAI/open_clip CLIP checkpoint's text tower into the
+    CLIPTextContextEncoder param tree.
+
+    The reference initialises its CLIP text encoder from ``ViT-B-32.pt`` via
+    ``CLIPTextContextEncoder.init_weights`` (_modified_BiomedCLIP.py:828-847):
+    it ``torch.jit.load``s the archive, keeps ``transformer.*``,
+    ``token_embedding*``, ``positional_embedding`` (truncated from 77 to
+    context_length), ``ln_final*`` and ``text_projection``, and loads them
+    non-strictly. This converter performs the same selection/truncation onto
+    the flax tree. Accepts a path (torch.jit archive or plain state dict) or
+    an in-memory dict (for tests). Returns the updated tree."""
+    import os
+
+    if isinstance(checkpoint_path_or_sd, (str, os.PathLike)):
+        if not os.path.isfile(checkpoint_path_or_sd):
+            raise FileNotFoundError(checkpoint_path_or_sd)
+        import torch
+
+        try:  # ViT-B-32.pt ships as a torch.jit archive (reference :831)
+            sd = torch.jit.load(checkpoint_path_or_sd, map_location="cpu").float().state_dict()
+        except RuntimeError:
+            sd = torch.load(checkpoint_path_or_sd, map_location="cpu")
+            sd = sd.get("state_dict", sd)
+    else:
+        sd = checkpoint_path_or_sd
+
+    def to_np(t):
+        import numpy as _np
+
+        if hasattr(t, "detach"):
+            return jnp.asarray(t.detach().cpu().float().numpy())
+        return jnp.asarray(_np.asarray(t, dtype=_np.float32))
+
+    new = jax.tree.map(lambda x: x, params)
+    inner = new["params"]
+
+    if "token_embedding.weight" in sd:
+        inner["token_embedding"]["embedding"] = to_np(sd["token_embedding.weight"])
+    if "positional_embedding" in sd:
+        pos = to_np(sd["positional_embedding"])
+        L = inner["positional_embedding"].shape[0]
+        inner["positional_embedding"] = pos[:L]  # 77 -> context_length (:841-843)
+    if "ln_final.weight" in sd:
+        inner["ln_final"]["scale"] = to_np(sd["ln_final.weight"])
+        inner["ln_final"]["bias"] = to_np(sd["ln_final.bias"])
+    if "text_projection" in sd:
+        # reference pools then does ``x @ text_projection`` (:881) — identical
+        # to a bias-free Dense, kernel taken as-is
+        inner["text_projection"]["kernel"] = to_np(sd["text_projection"])
+
+    i = 0
+    while f"block_{i}" in inner:
+        R = f"transformer.resblocks.{i}."
+        blk = inner[f"block_{i}"]
+        if R + "attn.in_proj_weight" in sd:
+            w = to_np(sd[R + "attn.in_proj_weight"])  # [3C, C], rows q|k|v
+            b = to_np(sd[R + "attn.in_proj_bias"])
+            C = w.shape[1]
+            for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                blk[name]["kernel"] = w[j * C:(j + 1) * C].T
+                blk[name]["bias"] = b[j * C:(j + 1) * C]
+        for t_name, f_name, transpose in (
+            ("attn.out_proj", "out_proj", True),
+            ("mlp.c_fc", "fc", True),
+            ("mlp.c_proj", "proj", True),
+        ):
+            if R + t_name + ".weight" in sd:
+                w = to_np(sd[R + t_name + ".weight"])
+                blk[f_name]["kernel"] = w.T if transpose else w
+                blk[f_name]["bias"] = to_np(sd[R + t_name + ".bias"])
+        for t_name, f_name in (("ln_1", "ln_1"), ("ln_2", "ln_2")):
+            if R + t_name + ".weight" in sd:
+                blk[f_name]["scale"] = to_np(sd[R + t_name + ".weight"])
+                blk[f_name]["bias"] = to_np(sd[R + t_name + ".bias"])
+        i += 1
     return new

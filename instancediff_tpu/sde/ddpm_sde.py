@@ -48,14 +48,30 @@ class DDPMSDE:
         x_t = jnp.sqrt(abar) * x0 + jnp.sqrt(1.0 - abar) * self.max_sigma * eps
         return t.reshape(bshape), x_t, eps
 
-    def reverse_ddpm(self, key, mu, predict_fn: NoisePredictFn, shape=None):
-        """T-step ancestral sampling from pure noise, conditioned through the
-        net. One jitted ``lax.scan``."""
+    def reverse_ddpm(self, key, mu, predict_fn: NoisePredictFn, shape=None,
+                     sample_steps=None, eta=None):
+        """Ancestral sampling from pure noise, conditioned through the net.
+        One jitted ``lax.scan``.
+
+        ``sample_steps < T`` runs the strided DDIM-family posterior over an
+        evenly spaced timestep subset (same grid construction as
+        ``DriftSDE.reverse_ddpm``); ``eta`` scales the fresh-noise std
+        (eta=1, consecutive grid == the exact ancestral DDPM step; eta=0 ==
+        deterministic DDIM)."""
+        import numpy as _np
+
         shape = mu.shape if shape is None else shape
         B = shape[0]
+        eta_v = 1.0 if eta is None else float(eta)
         k_init, k_loop = jax.random.split(key)
         x_T = jax.random.normal(k_init, shape, dtype=mu.dtype) * self.max_sigma
-        step_keys = jax.random.split(k_loop, self.T)
+
+        n_steps = self.T if sample_steps is None else int(sample_steps)
+        grid = _np.unique(_np.round(
+            _np.linspace(0, self.T, n_steps + 1)).astype(_np.int32))
+        t_hi = jnp.asarray(grid[1:][::-1].copy())   # T ... first
+        t_lo = jnp.asarray(grid[:-1][::-1].copy())  # ... 0
+        step_keys = jax.random.split(k_loop, len(grid) - 1)
 
         abar = self.alphas_bar
 
@@ -66,22 +82,31 @@ class DDPMSDE:
         s = jnp.asarray(self.max_sigma)
 
         def body(x, inp):
-            t_scalar, k = inp
+            t_scalar, t_prev_scalar, k = inp
             t_b = jnp.full((B,), t_scalar, dtype=jnp.int32)
             eps_hat = predict_fn(x, t_b)
-            a_t = (abar[t_scalar] / abar[t_scalar - 1]).astype(x.dtype)
             abar_t = abar[t_scalar].astype(x.dtype)
-            abar_p = abar[t_scalar - 1].astype(x.dtype)
-            beta_t = 1.0 - a_t
+            abar_p = abar[t_prev_scalar].astype(x.dtype)
             s_ = s.astype(x.dtype)
-            mean = (x - s_ * beta_t / jnp.sqrt(1.0 - abar_t) * eps_hat) / jnp.sqrt(a_t)
-            var = s_ * s_ * beta_t * (1.0 - abar_p) / (1.0 - abar_t)
+            # DDIM(eta) posterior between arbitrary grid neighbours:
+            #   x0_hat = (x - s*sqrt(1-abar_t) eps_hat) / sqrt(abar_t)
+            #   sigma  = eta * sqrt((1-abar_p)/(1-abar_t) * (1-abar_t/abar_p))
+            #   x_prev = sqrt(abar_p) x0_hat
+            #          + s*sqrt(1-abar_p-sigma^2) eps_hat + s*sigma z
+            # For eta=1 on the consecutive grid this is algebraically the
+            # exact ancestral DDPM transition (beta_t formulation).
+            x0_hat = (x - s_ * jnp.sqrt(1.0 - abar_t) * eps_hat) / jnp.sqrt(abar_t)
+            sigma2 = (eta_v**2 * (1.0 - abar_p) / (1.0 - abar_t)
+                      * (1.0 - abar_t / abar_p))
+            sigma2 = jnp.clip(sigma2, 0.0, 1.0 - abar_p)
             z = jax.random.normal(k, x.shape, dtype=x.dtype)
-            x_next = mean + jnp.where(t_scalar > 1, jnp.sqrt(var), 0.0) * z
+            noise_term = jnp.where(t_prev_scalar > 0, jnp.sqrt(sigma2), 0.0) * z
+            carry = jnp.sqrt(jnp.clip(1.0 - abar_p - sigma2, 0.0, None))
+            x_next = (jnp.sqrt(abar_p) * x0_hat
+                      + s_ * carry * eps_hat + s_ * noise_term)
             return x_next, None
 
-        ts = jnp.arange(self.T, 0, -1, dtype=jnp.int32)
-        x0, _ = jax.lax.scan(body, x_T, (ts, step_keys))
+        x0, _ = jax.lax.scan(body, x_T, (t_hi, t_lo, step_keys))
         return x0
 
     def set_gpu(self, device=None):  # pragma: no cover - trivial

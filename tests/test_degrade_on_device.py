@@ -1,0 +1,172 @@
+"""On-TPU degradation input pipeline (SURVEY SS2.10 north star: hosts stream
+clean arrays; degradations synthesise on device inside the jitted step).
+
+Covers VERDICT r2 missing #3: host path == device path (single source of
+truth in ops/degradations.py) and a full trainUM e2e with NO LQ files on disk.
+"""
+
+import glob
+import os
+import sys
+import textwrap
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from instancediff_tpu.data.synthetic import (  # noqa: E402
+    degrade_with_key,
+    make_phantom,
+    write_synthetic_index,
+)
+from instancediff_tpu.data.med_dataset import DEFAULT_TYPE_MAP  # noqa: E402
+from instancediff_tpu.ops.degradations import ARTIFACT_TYPES, apply_degradation  # noqa: E402
+
+
+@pytest.mark.parametrize("name", ARTIFACT_TYPES)
+def test_host_degrade_equals_device_degrade(name):
+    """The host (dataset-generation) path delegates to the same jitted op the
+    train step runs on device; the only delta is the [0,1] clip applied when
+    writing intensity files."""
+    rng = np.random.default_rng(1)
+    clean01 = make_phantom(rng, 24)
+    key = jax.random.key(42)
+
+    host = degrade_with_key(key, clean01, name)
+
+    x = jnp.asarray(clean01)[None, ..., None] * 2.0 - 1.0
+    idx = jnp.full((1,), DEFAULT_TYPE_MAP[name], jnp.int32)
+    dev = jax.jit(apply_degradation)(key, x, idx)
+    dev01 = (np.asarray(dev)[0, ..., 0] + 1.0) / 2.0
+
+    np.testing.assert_allclose(host, np.clip(dev01, 0.0, 1.0), atol=1e-6)
+
+
+def test_engine_step_degrades_on_device():
+    """With degrade_on_device the step ignores the placeholder LQ and keys the
+    degradation off type_idx inside jit; turning the flag off on the same
+    batch trains against the (clean==input) placeholder instead."""
+    from instancediff_tpu.models.drift_model import CLIPDriftEngine
+    from instancediff_tpu.sde import DriftSDE
+
+    TINY = dict(in_nc=2, out_nc=5, nf=8, ch_mult=[1, 2], context_dim=16,
+                text_module="scoremap", score_map_chan=4, if_MultiScoreMap=True,
+                num_res_blocks=1)
+
+    def build(flag):
+        return CLIPDriftEngine(
+            dnet_settings=TINY, nnet_settings=TINY, score_map_ch_mult=(1, 1),
+            score_map_ngf=8, use_image_context=True, CLIP_Type="CLIP",
+            tiny_text_encoder=True, sde=DriftSDE(T=4, max_sigma=0.4),
+            image_size=8, nepoch=2, seed=0, degrade_on_device=flag)
+
+    k = jax.random.key(0)
+    x0 = jax.random.uniform(k, (2, 8, 8, 1)) * 2 - 1
+    batch = {"input": x0, "target": x0, "type_idx": jnp.array([0, 4]),
+             "A_emb": jnp.zeros((2, 1, 16))}
+
+    on = build(True)
+    loss_on = on.optimize_parameters(batch, jax.random.key(5))
+    off = build(False)
+    loss_off = off.optimize_parameters(batch, jax.random.key(5))
+    assert np.isfinite(loss_on) and np.isfinite(loss_off)
+    # degraded input != clean placeholder => different drift target => loss differs
+    assert abs(loss_on - loss_off) > 1e-8
+
+    # sampling path synthesises LQ from target too
+    out = on.test(batch, jax.random.key(7), use_ema=False)
+    assert out.shape == x0.shape and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_gt_only_trainUM_e2e(tmp_path, monkeypatch):
+    """trainUM runs end-to-end from a GT-only index: no *_A.raw on disk."""
+    import trainUM
+
+    index = write_synthetic_index(
+        str(tmp_path / "data"), n_train=2, n_val=0, n_test=0, res=16,
+        artifact_types=["speckle in OCT"], emb_dim=16, seed=0, gt_only=True)
+    assert glob.glob(str(tmp_path / "data" / "*_A.raw")) == []
+
+    cfg = textwrap.dedent(f"""
+    name: gtonly_e2e
+    model: learnableFD
+    gpu_ids: [0]
+    resolution: 16
+    artifact_type: ['speckle in OCT']
+    type_map_ind:
+      speckle in OCT: 0
+    datasets:
+      train:
+        name: train_dataset
+        mode: SpeckleMed
+        max_dataset_size: 2
+        batch_size: 2
+        resolution: 16
+        emb_dim: 16
+        dataset_file: {index}
+        gt_only: True
+        use_artifact_type: ['speckle in OCT']
+    path:
+      root: {tmp_path}
+      resume_state: ~
+    train:
+      dist: False
+      which_sde: driftSDE
+      which_model: DriftNoise
+      nepoch: 1
+      manual_seed: 0
+      val_freq: 1000000
+    logger:
+      print_freq: 1000
+      save_checkpoint_freq: 1000000
+    models:
+      DriftNoise:
+        module_name: drift_noise_model
+        class_name: CLIPDriftModel
+        nnet_settings: &tinynet
+          module_name: MSM_degEmb_Unet
+          class_name: LearnableForwardUNet_MultiScoreMap
+          in_nc: 2
+          out_nc: 5
+          nf: 8
+          ch_mult: [1, 2]
+          num_res_blocks: 1
+          context_dim: 16
+          text_module: scoremap
+          score_map_chan: 4
+          if_MultiScoreMap: True
+        dnet_settings: *tinynet
+        use_image_context: True
+        if_MultiScoreMap: True
+        score_map_ch_mult: [1, 1]
+        score_map_ngf: 8
+        CLIP_Type: CLIP
+        tiny_text_encoder: True
+        degrade_on_device: True
+        drift_net_lr: !!float 1e-3
+        noise_net_lr: !!float 1e-3
+        weight_decay_drift: !!float 1e-4
+        eta_min: !!float 1e-6
+        beta1: 0.9
+        beta2: 0.99
+        optimize_type: inputRes
+        optimize_target: std
+    sdes:
+      driftSDE:
+        class_name: driftSDE
+        T: 4
+        max_sigma: 0.4
+        drift_schedule: sigmoid
+        noise_schedule: sigmoid
+    """)
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(cfg)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["trainUM.py", f"-opt={cfg_path}"])
+    trainUM.main()
+    models_dir = tmp_path / "experiments" / "gtonly_e2e" / "models"
+    assert (models_dir / "latest_DN.ckpt").is_file()

@@ -100,3 +100,26 @@ def test_ema_semantics():
 def test_get_nets_contract(engine):
     nets = engine.get_nets(use_ema=True)
     assert set(nets) == {"drift_net", "noise_net"}
+
+
+def test_engine_knobs_yaml_plumbing():
+    """`models.<name>.engine:` block reaches the engine as attributes
+    (VERDICT r2 weak #4) and unknown keys fail loudly."""
+    from instancediff_tpu.models.drift_model import create_CLIPDriftModel
+
+    model_opt = dict(
+        dnet_settings=TINY, nnet_settings=TINY,
+        score_map_ch_mult=[1, 1], score_map_ngf=8,
+        CLIP_Type="CLIP", tiny_text_encoder=True,
+        engine={"scan_unroll": 2, "fuse_dual_train": False, "packed_l0": False},
+    )
+    eng = create_CLIPDriftModel({"nepoch": 4}, model_opt, phase="val",
+                                sde=DriftSDE(T=8, max_sigma=0.4), image_size=8)
+    assert eng.scan_unroll == 2
+    assert eng.fuse_dual_train is False
+    assert eng.packed_l0 is False
+
+    with pytest.raises(KeyError, match="unknown engine knob"):
+        create_CLIPDriftModel({}, {**model_opt, "engine": {"turbo": True}},
+                              phase="val", sde=DriftSDE(T=8, max_sigma=0.4),
+                              image_size=8)

@@ -27,10 +27,14 @@ def main():
     ap.add_argument("--types", nargs="*", default=None,
                     help="restrict artifact types (default: all five)")
     ap.add_argument("--emb-dim", type=int, default=512)
+    ap.add_argument("--gt-only", action="store_true",
+                    help="write clean images only (no *_A.raw); pair with "
+                         "datasets.*.gt_only + models.*.degrade_on_device")
     args = ap.parse_args()
     path = write_synthetic_index(
         args.root, n_train=args.n_train, n_val=args.n_val, n_test=args.n_test,
-        res=args.res, seed=args.seed, artifact_types=args.types, emb_dim=args.emb_dim)
+        res=args.res, seed=args.seed, artifact_types=args.types,
+        emb_dim=args.emb_dim, gt_only=args.gt_only)
     print(path)
 
 

@@ -90,18 +90,24 @@ def main():
     resume_state_path = opt["path"].get("resume_state")
     resume_epoch, resume_iter = 0, 0
 
-    # experiment dirs (reference trainUM.py:135-157)
-    if not resume_state_path:
-        mkdir_and_rename(opt["path"]["experiments_root"])
-    mkdirs([opt["path"]["models"], opt["path"]["training_state"], opt["path"]["val_images"]])
-    store_files(opt, osp.join(opt["path"]["experiments_root"], "files"))
-    log_link = "./log"
-    try:
-        if osp.islink(log_link) or osp.exists(log_link):
-            os.remove(log_link)
-        os.symlink(opt["path"]["experiments_root"], log_link)
-    except OSError:
-        pass
+    # experiment dirs (reference trainUM.py:135-157). Only process 0 creates/
+    # renames/snapshots — the reference gates all experiment-dir writes on
+    # rank 0 (trainUM.py:135,287); concurrent hosts on a shared FS would race.
+    is_rank0 = host_rank == 0
+    if is_rank0:
+        if not resume_state_path:
+            mkdir_and_rename(opt["path"]["experiments_root"])
+        mkdirs([opt["path"]["models"], opt["path"]["training_state"],
+                opt["path"]["val_images"]])
+        store_files(opt, osp.join(opt["path"]["experiments_root"], "files"))
+        log_link = "./log"
+        try:
+            if osp.islink(log_link) or osp.exists(log_link):
+                os.remove(log_link)
+            os.symlink(opt["path"]["experiments_root"], log_link)
+        except OSError:
+            pass
+    mkdirs([opt["path"]["log"]])
     logger = setup_logger("instancediff_tpu", opt["path"]["log"], "train",
                           screen=True, tofile=True)
     logger.info(dict2str(opt))
@@ -144,16 +150,18 @@ def main():
     if resume_state_path:
         from instancediff_tpu.config.options import check_resume
 
-        resume_iter_dir = opt["path"]["models"]
         state_file = resume_state_path
         resume_epoch, resume_iter = model.resume_training(state_file)
         # reference calls check_resume after loading the state
         # (trainUM.py:123-131 via options.py:123-143): rewrite the pretrain
-        # keys to the bundle files this iteration actually produced
+        # keys to the bundle files this iteration actually produced, then load
+        # the weights FROM those rewritten keys (they are the contract)
         opt = check_resume(opt, resume_iter)
+        load_dir, bundle_name = osp.split(opt["path"]["pretrain_model_DN"])
+        load_iter = bundle_name.rsplit("_DN.ckpt", 1)[0]
         # skip the rolling lastest_*_ema files when the state carried the EMA
         # (they may have been overwritten by a later save)
-        model.load(resume_iter_dir, resume_iter,
+        model.load(load_dir, load_iter,
                    load_ema=not getattr(model, "ema_restored", False))
         logger.info("resumed from epoch %d iter %d", resume_epoch, resume_iter)
         resume_epoch += 1  # reference re-enters at epoch+1 (trainUM.py:196-206)
@@ -182,9 +190,10 @@ def main():
             pass  # non-main thread (e.g. under pytest)
 
     def preempt_save(epoch, current_iter):
-        model.save(opt["path"]["models"], current_iter)
-        model.save_training_state(opt["path"]["training_state"], epoch, current_iter)
-        logger.info("preemption checkpoint saved at iter %d", current_iter)
+        if is_rank0:
+            model.save(opt["path"]["models"], current_iter)
+            model.save_training_state(opt["path"]["training_state"], epoch, current_iter)
+            logger.info("preemption checkpoint saved at iter %d", current_iter)
 
     current_iter = resume_iter
     for epoch in range(resume_epoch, nepoch):
@@ -209,7 +218,7 @@ def main():
                 logger.info("epoch %d iter %d lr %.3e %s",
                             epoch, current_iter, lr, model.get_loss_message())
 
-            if current_iter % save_freq == 0:
+            if current_iter % save_freq == 0 and is_rank0:
                 model.save(opt["path"]["models"], current_iter)
                 model.save_training_state(opt["path"]["training_state"], epoch, current_iter)
                 logger.info("checkpoint saved at iter %d", current_iter)
@@ -218,7 +227,10 @@ def main():
                 preempt_save(epoch, current_iter)
                 return
 
-            if val_loader is not None and current_iter % val_freq == 0:
+            # inline validation + raw dumps gated on process 0 (reference
+            # trainUM.py:287 `if rank <= 0`) — avoids every host sampling and
+            # writing identical files under --multihost
+            if val_loader is not None and current_iter % val_freq == 0 and is_rank0:
                 metrics = {"PSNR": [], "SSIM": [], "RMSE": []}
                 for vi, vbatch in enumerate(val_loader):
                     if vi >= max_val:
@@ -247,12 +259,13 @@ def main():
 
         logger.info("epoch %d done in %.1fs, %s", epoch, time.time() - epoch_start,
                     model.get_loss_message())
-        if (epoch + 1) % 5 == 0:  # reference epoch-multiple-of-5 cadence (:350-354)
+        if (epoch + 1) % 5 == 0 and is_rank0:  # reference epoch-%5 cadence (:350-354)
             model.save(opt["path"]["models"], current_iter)
             model.save_training_state(opt["path"]["training_state"], epoch, current_iter)
 
-    model.save(opt["path"]["models"], "latest")
-    model.save_training_state(opt["path"]["training_state"], nepoch - 1, current_iter)
+    if is_rank0:
+        model.save(opt["path"]["models"], "latest")
+        model.save_training_state(opt["path"]["training_state"], nepoch - 1, current_iter)
     logger.info("training complete at iter %d", current_iter)
 
 
