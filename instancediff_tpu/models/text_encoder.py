@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import drop_path, multi_head_attention
 
 
 def quick_gelu(x):
@@ -39,29 +39,46 @@ def quick_gelu(x):
 
 class TransformerBlock(nn.Module):
     """Pre-LN transformer block (ResidualAttentionBlock analogue,
-    _modified_BiomedCLIP.py:371-433)."""
+    _modified_BiomedCLIP.py:371-433).
+
+    ``drop_path_rate`` is the reference's per-block stochastic depth
+    (DropPath :328-340, linear decay handled by the caller per the Transformer
+    decay rule :424); active only with ``deterministic=False`` and a
+    ``drop_path`` rng. ``qkv_clamp`` mirrors the Attention_flash fp16
+    overflow clamp (:509-513). Both default off — the reference's shipped
+    settings."""
 
     width: int
     heads: int
     mlp_ratio: float = 4.0
     act: str = "quick_gelu"
     dtype: jnp.dtype = jnp.float32
+    drop_path_rate: float = 0.0
+    qkv_clamp: Optional[float] = None
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, deterministic: bool = True):
         act = quick_gelu if self.act == "quick_gelu" else jax.nn.gelu
+
+        def branch(h):
+            if self.drop_path_rate > 0.0 and not deterministic:
+                return drop_path(self.make_rng("drop_path"), h,
+                                 self.drop_path_rate)
+            return h
+
         # eps=1e-5: torch nn.LayerNorm default (OpenAI CLIP / timm ViT) — keeps
         # converted checkpoints numerically exact
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         q = nn.Dense(self.width, dtype=self.dtype, name="q_proj")(h)
         k = nn.Dense(self.width, dtype=self.dtype, name="k_proj")(h)
         v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(h)
-        attn = multi_head_attention(q, k, v, self.heads, mask=mask)
-        x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn)
+        attn = multi_head_attention(q, k, v, self.heads, mask=mask,
+                                    qkv_clamp=self.qkv_clamp)
+        x = x + branch(nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn))
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(int(self.width * self.mlp_ratio), dtype=self.dtype, name="fc")(h)
         h = act(h)
-        x = x + nn.Dense(self.width, dtype=self.dtype, name="proj")(h)
+        x = x + branch(nn.Dense(self.width, dtype=self.dtype, name="proj")(h))
         return x
 
 

@@ -32,11 +32,31 @@ def dot_product_attention(q, k, v, mask=None, scale=None):
     return jnp.einsum("...qk,...kd->...qd", weights, v)
 
 
-def multi_head_attention(q, k, v, num_heads, mask=None):
+def drop_path(key, x, rate):
+    """Per-sample stochastic depth on a residual branch (reference DropPath,
+    _modified_BiomedCLIP.py:328-340 / timm ``drop_path``): zero the branch for
+    a random subset of samples and rescale survivors by 1/keep. Identity at
+    rate<=0 (the reference's default — DropPath is plumbed but off)."""
+    if rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(key, shape, dtype=x.dtype))
+    return x / keep * mask
+
+
+def multi_head_attention(q, k, v, num_heads, mask=None, qkv_clamp=None):
     """Split-head attention over the last dim. q: [B, Lq, C], k/v: [B, Lk, C].
 
     Returns [B, Lq, C]. The projection matrices live in the calling flax
-    module; this op is the pure compute core."""
+    module; this op is the pure compute core. ``qkv_clamp`` bounds q/k/v to
+    +-clamp before the product — the low-precision overflow guard of the
+    reference's ``Attention_flash`` fp16 path
+    (_modified_BiomedCLIP.py:509-513, clamp 255)."""
+    if qkv_clamp is not None:
+        q = jnp.clip(q, -qkv_clamp, qkv_clamp)
+        k = jnp.clip(k, -qkv_clamp, qkv_clamp)
+        v = jnp.clip(v, -qkv_clamp, qkv_clamp)
     B, Lq, C = q.shape
     Lk = k.shape[1]
     Dh = C // num_heads

@@ -3,7 +3,10 @@
 The reference supervises each scale's score map against the label resized by
 ``torchvision.transforms.Resize`` (bilinear, antialias) to H/mult for
 mult=[1,2,4,8] (drift_noise_model.py:234-240). ``jax.image.resize`` with
-'bilinear' matches within fp32 tolerance for these exact power-of-two factors.
+'bilinear' antialiases on downscale by default and matches torch's
+antialiased bilinear to float32 roundoff (max abs err ~1.2e-7) for these
+power-of-two factors — demonstrated in
+tests/test_minor_parity.py::test_downsample_matches_torch_antialiased_bilinear.
 """
 
 from __future__ import annotations
