@@ -39,7 +39,8 @@ from .text_encoder import build_text_encoder
 # YAML-reachable perf knobs (``models.<name>.engine:`` block). Semantics and
 # measured effects are logged in PERF.md; all default off/1.
 ENGINE_KNOBS = frozenset(
-    {"pallas_gn", "fused_gnconv", "scan_unroll", "fuse_dual_train", "packed_l0"}
+    {"pallas_gn", "fused_gnconv", "scan_unroll", "fuse_dual_train",
+     "packed_l0", "ksplit_dec"}
 )
 
 
@@ -609,6 +610,9 @@ class CLIPDriftEngine:
             # sampling never differentiates; remat in the clone would force
             # the ResBlock kwargs through jax.checkpoint
             clone_kw["remat"] = False
+        if getattr(self, "ksplit_dec", False):
+            # K-tile-aligned split of the decoder concat convs (exact)
+            clone_kw["ksplit_dec"] = True
         sample_net = self.drift_net.clone(**clone_kw) if clone_kw else self.drift_net
         plain_drift_net = sample_net
         plain_noise_net = (self.noise_net.clone(**clone_kw)

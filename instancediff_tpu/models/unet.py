@@ -199,6 +199,22 @@ class ContextCrossAttention(nn.Module):
         return h + out.reshape(B, H, W, C)
 
 
+def _ksplit_groups(segments):
+    """Group concat-input segments for K-tile-aligned split convolutions:
+    the wide (h, skip) run in one conv, the thin score-map-fuse tail in a
+    second, summed — exact by linearity. At e.g. K=272 (128+128+16) the MXU
+    contraction dim otherwise pads each 3x3 tap's K to the next tile; the
+    256-wide group hits exact tiles. Returns [(offset, width), ...] or None
+    when there is nothing worth splitting."""
+    if len(segments) < 2:
+        return None
+    main = int(sum(segments[:-1]))
+    tail = int(segments[-1])
+    if tail >= 64 or main % 64 != 0:
+        return None
+    return [(0, main), (main, tail)]
+
+
 class ResBlock(nn.Module):
     """GN + SiLU + 3x3 conv x2 with timestep injection and optional
     image-context cross-attention (the reference conv block,
@@ -213,6 +229,10 @@ class ResBlock(nn.Module):
     # static input-segment widths for the fully width-packed path (a FIELD,
     # not a call argument, so nn.remat-wrapped blocks stay traceable)
     packed_segments: Optional[tuple] = None
+    # logical widths of conv1's concat input (decoder j==0 blocks) + opt-in
+    # K-tile-aligned split of that conv (engine.ksplit_dec)
+    concat_widths: Optional[tuple] = None
+    ksplit: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _conv3(self, features, name, kernel_init=None):
@@ -233,7 +253,25 @@ class ResBlock(nn.Module):
             return self._fused_body(h, temb, context, in_ch)
         x = FusedGroupNormSiLU(_gn_groups(in_ch), use_pallas=self.use_pallas_gn,
                                name="gns1")(h)
-        x = self._conv3(self.out_ch, "conv1")(x.astype(self.dtype))
+        groups = (_ksplit_groups(list(self.concat_widths))
+                  if (self.ksplit and self.concat_widths
+                      and sum(self.concat_widths) == in_ch
+                      and not self.use_packed_conv) else None)
+        if groups is not None:
+            k1, b1 = _ConvParams(self.out_ch, name="conv1")(in_ch)
+            xd = x.astype(self.dtype)
+            kd = k1.astype(self.dtype)
+            dn = jax.lax.conv_dimension_numbers(
+                xd.shape, kd.shape, ("NHWC", "HWIO", "NHWC"))
+            y = None
+            for off, wdt in groups:
+                part = jax.lax.conv_general_dilated(
+                    xd[..., off:off + wdt], kd[:, :, off:off + wdt, :],
+                    (1, 1), "SAME", dimension_numbers=dn)
+                y = part if y is None else y + part
+            x = y + b1.astype(y.dtype)
+        else:
+            x = self._conv3(self.out_ch, "conv1")(x.astype(self.dtype))
         x = x + nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(nn.silu(temb))[
             :, None, None
         ]
@@ -265,8 +303,11 @@ class ResBlock(nn.Module):
             nn.silu(temb))  # [B, out_ch]
 
         x = pk.gn_silu_packed(hp, g1s, g1b, _gn_groups(in_ch), segments)
+        ks = None
+        if self.ksplit and _ksplit_groups(segments) is not None:
+            ks = [tuple(range(len(segments) - 1)), (len(segments) - 1,)]
         x = pk.packed_conv3x3(x.astype(self.dtype), k1.astype(self.dtype),
-                              segments=segments)
+                              segments=segments, k_split=ks)
         # conv1 bias + the timestep projection, parity-tiled [B, 2*out_ch]
         bias1 = (jnp.tile(b1, 2)[None] + jnp.tile(tb, (1, 2))).astype(x.dtype)
         x = x + bias1[:, None, None, :]
@@ -370,6 +411,9 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
     # elementwise run at full 128-lane width with zero relayout copies
     remat: bool = False  # rematerialise ResBlocks (training at 224px+ OOMs
     # HBM without it: measured 16.8G/15.75G at B=4 fp32 on v5e)
+    ksplit_dec: bool = False  # K-tile-aligned split of the decoder concat
+    # convs (dec_i_0: wide h+skip run and thin score-map tail as two summed
+    # convs — exact; engine.ksplit_dec)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -463,6 +507,13 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                            else (self.nf,))
                 else:
                     seg = None
+                # logical widths of the j==0 concat input [h, skip(, smm)]
+                has_smm = (self.text_module == "scoremap"
+                           and (self.if_MultiScoreMap or i == 0))
+                cw = None
+                if j == 0:
+                    cw = ((self.nf * mult, self.nf * mult, self.score_map_chan)
+                          if has_smm else (self.nf * mult, self.nf * mult))
                 dec.append(
                     RB(
                         self.nf * mult,
@@ -472,6 +523,8 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         use_fused_gnconv=self.use_fused_gnconv,
                         use_packed_conv=self.use_packed_conv,
                         packed_segments=seg,
+                        concat_widths=cw,
+                        ksplit=self.ksplit_dec,
                         dtype=self.dtype,
                         name=f"dec_{i}_{j}",
                     )

@@ -90,10 +90,36 @@ def pack_kernel3x3(w, segments: Sequence[int]):
     return wp
 
 
-def packed_conv3x3(xp, w, b=None, segments: Sequence[int] | None = None):
-    """3x3 SAME conv on a packed tensor -> packed [.., 2*Co]."""
+def packed_conv3x3(xp, w, b=None, segments: Sequence[int] | None = None,
+                   k_split: Sequence[Sequence[int]] | None = None):
+    """3x3 SAME conv on a packed tensor -> packed [.., 2*Co].
+
+    ``k_split``: optional grouping of segment indices (e.g. ``[(0, 1), (2,)]``
+    for segments (64, 64, 16)); the conv is computed as a SUM of per-group
+    convs over channel slices — exact by linearity. Grouping the wide
+    segments to a multiple of 64 (128 packed lanes per pair of K-tiles)
+    avoids padding the MXU contraction dimension with the thin score-map
+    tail (PERF.md round-3 K-tile fragmentation lever)."""
     C2 = xp.shape[-1]
     segments = list(segments) if segments is not None else [C2 // 2]
+    if k_split is not None:
+        offs, _ = seg_offsets(segments)
+        total = None
+        for group in k_split:
+            g = sorted(group)
+            gsegs = [segments[i] for i in g]
+            # packed slices of this group's segments (contiguous runs only
+            # when the group is a run; general case concatenates slices)
+            xs = jnp.concatenate(
+                [xp[..., 2 * offs[i]:2 * (offs[i] + segments[i])] for i in g],
+                axis=-1)
+            ws = jnp.concatenate(
+                [w[:, :, offs[i]:offs[i] + segments[i], :] for i in g], axis=2)
+            y = packed_conv3x3(xs, ws, None, segments=gsegs)
+            total = y if total is None else total + y
+        if b is not None:
+            total = total + jnp.tile(b, 2)
+        return total
     wp = pack_kernel3x3(w, segments)
     dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
                                         ("NHWC", "HWIO", "NHWC"))

@@ -226,3 +226,64 @@ def test_ddpm_packed_sampler_matches_standard():
         eng.state["noise"], eng.text_params, mu, ty, emb, key)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_packed_conv3x3_ksplit_exact():
+    """k_split computes the conv as a sum of per-segment-group convs —
+    identical output (linearity), K-tile-aligned groups."""
+    a = jax.random.normal(jax.random.key(0), (1, 8, 8, 64))
+    s = jax.random.normal(jax.random.key(1), (1, 8, 8, 64))
+    m = jax.random.normal(jax.random.key(2), (1, 8, 8, 16))
+    w = jax.random.normal(jax.random.key(3), (3, 3, 144, 64)) * 0.1
+    b = jax.random.normal(jax.random.key(4), (64,)) * 0.1
+    xp = jnp.concatenate([pack_w(a), pack_w(s), pack_w(m)], axis=-1)
+    ref = packed_conv3x3(xp, w, b, segments=[64, 64, 16])
+    got = packed_conv3x3(xp, w, b, segments=[64, 64, 16],
+                         k_split=[(0, 1), (2,)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_resblock_ksplit_exact():
+    """Unpacked decoder ResBlock with the K-tile split conv1 == baseline on
+    the same params."""
+    from instancediff_tpu.models.unet import ResBlock
+
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 144))
+    temb = jax.random.normal(jax.random.key(1), (1, 32))
+    base = ResBlock(out_ch=64, concat_widths=(64, 64, 16), ksplit=False)
+    split = ResBlock(out_ch=64, concat_widths=(64, 64, 16), ksplit=True)
+    params = base.init(jax.random.key(2), x, temb)
+    ref = base.apply(params, x, temb)
+    got = split.apply(params, x, temb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_unet_ksplit_dec_matches_standard():
+    """Full UNet cloned with ksplit_dec=True (both packed and unpacked paths)
+    on the SAME params produces identical predictions."""
+    from instancediff_tpu.models.unet import LearnableForwardUNetMultiScoreMap
+
+    net = LearnableForwardUNetMultiScoreMap(
+        in_nc=2, out_nc=5, nf=64, ch_mult=(1, 2), context_dim=16,
+        score_map_chan=16, score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, token_embed_dim=16, num_res_blocks=1)
+    B, H = 1, 16
+    x_a = jax.random.normal(jax.random.key(0), (B, H, H, 1))
+    x_b = jax.random.normal(jax.random.key(1), (B, H, H, 1))
+    t = jnp.array([3], jnp.int32)
+    ty = jnp.array([2], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (B, 1, 16)) * 0.1
+    text_embs = [jax.random.normal(jax.random.key(3 + i), (5, 16)) * 0.1
+                 for i in range(2)]
+    params = net.init(jax.random.key(9), x_a, x_b, t, ty,
+                      text_embs=text_embs, image_context=ctx)
+    ref, _ = net.apply(params, x_a, x_b, t, ty,
+                       text_embs=text_embs, image_context=ctx)
+    for clone_kw in ({"ksplit_dec": True},
+                     {"ksplit_dec": True, "packed_l0": True}):
+        got, _ = net.clone(**clone_kw).apply(
+            params, x_a, x_b, t, ty, text_embs=text_embs, image_context=ctx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
