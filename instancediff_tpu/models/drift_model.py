@@ -40,7 +40,7 @@ from .text_encoder import build_text_encoder
 # measured effects are logged in PERF.md; all default off/1.
 ENGINE_KNOBS = frozenset(
     {"pallas_gn", "fused_gnconv", "scan_unroll", "fuse_dual_train",
-     "packed_l0", "ksplit_dec"}
+     "packed_l0", "ksplit_dec", "int8_conv"}
 )
 
 
@@ -613,6 +613,10 @@ class CLIPDriftEngine:
         if getattr(self, "ksplit_dec", False):
             # K-tile-aligned split of the decoder concat convs (exact)
             clone_kw["ksplit_dec"] = True
+        if getattr(self, "int8_conv", False):
+            # W8A8 ResBlock convs on the v5e int8 MXU path (2x bf16 rate;
+            # approximate — validate quality per checkpoint, PERF.md)
+            clone_kw["int8_conv"] = True
         sample_net = self.drift_net.clone(**clone_kw) if clone_kw else self.drift_net
         plain_drift_net = sample_net
         plain_noise_net = (self.noise_net.clone(**clone_kw)

@@ -233,6 +233,7 @@ class ResBlock(nn.Module):
     # K-tile-aligned split of that conv (engine.ksplit_dec)
     concat_widths: Optional[tuple] = None
     ksplit: bool = False
+    int8: bool = False  # W8A8 3x3 convs on the int8 MXU path (engine.int8_conv)
     dtype: jnp.dtype = jnp.float32
 
     def _conv3(self, features, name, kernel_init=None):
@@ -257,7 +258,13 @@ class ResBlock(nn.Module):
                   if (self.ksplit and self.concat_widths
                       and sum(self.concat_widths) == in_ch
                       and not self.use_packed_conv) else None)
-        if groups is not None:
+        if self.int8 and not self.use_packed_conv:
+            from ..ops.int8 import int8_conv
+
+            k1, b1 = _ConvParams(self.out_ch, name="conv1")(in_ch)
+            x = int8_conv(x.astype(self.dtype), k1.astype(self.dtype),
+                          b1, out_dtype=self.dtype)
+        elif groups is not None:
             k1, b1 = _ConvParams(self.out_ch, name="conv1")(in_ch)
             xd = x.astype(self.dtype)
             kd = k1.astype(self.dtype)
@@ -277,8 +284,16 @@ class ResBlock(nn.Module):
         ]
         x = FusedGroupNormSiLU(_gn_groups(self.out_ch), use_pallas=self.use_pallas_gn,
                                name="gns2")(x)
-        x = self._conv3(self.out_ch, "conv2",
-                        kernel_init=nn.initializers.zeros)(x.astype(self.dtype))
+        if self.int8 and not self.use_packed_conv:
+            from ..ops.int8 import int8_conv
+
+            k2, b2 = _ConvParams(self.out_ch, kernel_init=nn.initializers.zeros,
+                                 name="conv2")(self.out_ch)
+            x = int8_conv(x.astype(self.dtype), k2.astype(self.dtype),
+                          b2, out_dtype=self.dtype)
+        else:
+            x = self._conv3(self.out_ch, "conv2",
+                            kernel_init=nn.initializers.zeros)(x.astype(self.dtype))
         if in_ch != self.out_ch:
             h = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="skip")(h)
         h = h + x
@@ -307,14 +322,15 @@ class ResBlock(nn.Module):
         if self.ksplit and _ksplit_groups(segments) is not None:
             ks = [tuple(range(len(segments) - 1)), (len(segments) - 1,)]
         x = pk.packed_conv3x3(x.astype(self.dtype), k1.astype(self.dtype),
-                              segments=segments, k_split=ks)
+                              segments=segments, k_split=ks, int8=self.int8)
         # conv1 bias + the timestep projection, parity-tiled [B, 2*out_ch]
         bias1 = (jnp.tile(b1, 2)[None] + jnp.tile(tb, (1, 2))).astype(x.dtype)
         x = x + bias1[:, None, None, :]
         x = pk.gn_silu_packed(x, g2s, g2b, _gn_groups(self.out_ch),
                               [self.out_ch])
         x = pk.packed_conv3x3(x.astype(self.dtype), k2.astype(self.dtype),
-                              b2.astype(self.dtype), segments=[self.out_ch])
+                              b2.astype(self.dtype), segments=[self.out_ch],
+                              int8=self.int8)
         if in_ch == self.out_ch and len(segments) == 1:
             res = hp
         else:
@@ -414,6 +430,9 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
     ksplit_dec: bool = False  # K-tile-aligned split of the decoder concat
     # convs (dec_i_0: wide h+skip run and thin score-map tail as two summed
     # convs — exact; engine.ksplit_dec)
+    int8_conv: bool = False  # W8A8 ResBlock convs on the int8 MXU path
+    # (2x bf16 rate on v5e; engine.int8_conv — quality must be validated
+    # per checkpoint, ops/int8.py)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -441,6 +460,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         use_packed_conv=self.use_packed_conv,
                         packed_segments=((self.nf,) if (self.packed_l0 and i == 0)
                                          else None),
+                        int8=self.int8_conv,
                         dtype=self.dtype,
                         name=f"enc_{i}_{j}",
                     )
@@ -460,6 +480,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                              use_pallas_gn=self.use_pallas_gn,
                         use_fused_gnconv=self.use_fused_gnconv,
                         use_packed_conv=self.use_packed_conv,
+                        int8=self.int8_conv,
                              dtype=self.dtype, name="mid1")
         self.mid_attn = SelfAttention2D(dtype=self.dtype, name="mid_attn")
         self.mid2 = RB(mid_ch, use_context=self.use_image_context,
@@ -467,6 +488,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                              use_pallas_gn=self.use_pallas_gn,
                         use_fused_gnconv=self.use_fused_gnconv,
                         use_packed_conv=self.use_packed_conv,
+                        int8=self.int8_conv,
                              dtype=self.dtype, name="mid2")
 
         if self.text_module == "scoremap":
@@ -525,6 +547,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         packed_segments=seg,
                         concat_widths=cw,
                         ksplit=self.ksplit_dec,
+                        int8=self.int8_conv,
                         dtype=self.dtype,
                         name=f"dec_{i}_{j}",
                     )

@@ -91,8 +91,13 @@ def pack_kernel3x3(w, segments: Sequence[int]):
 
 
 def packed_conv3x3(xp, w, b=None, segments: Sequence[int] | None = None,
-                   k_split: Sequence[Sequence[int]] | None = None):
+                   k_split: Sequence[Sequence[int]] | None = None,
+                   int8: bool = False):
     """3x3 SAME conv on a packed tensor -> packed [.., 2*Co].
+
+    ``int8``: quantize the transformed kernel (per packed-output-channel) and
+    the packed activations (per-tensor dynamic) and contract on the int8 MXU
+    path — 2x the bf16 rate on v5e (ops/int8.py; engine.int8_conv).
 
     ``k_split``: optional grouping of segment indices (e.g. ``[(0, 1), (2,)]``
     for segments (64, 64, 16)); the conv is computed as a SUM of per-group
@@ -115,16 +120,21 @@ def packed_conv3x3(xp, w, b=None, segments: Sequence[int] | None = None,
                 axis=-1)
             ws = jnp.concatenate(
                 [w[:, :, offs[i]:offs[i] + segments[i], :] for i in g], axis=2)
-            y = packed_conv3x3(xs, ws, None, segments=gsegs)
+            y = packed_conv3x3(xs, ws, None, segments=gsegs, int8=int8)
             total = y if total is None else total + y
         if b is not None:
             total = total + jnp.tile(b, 2)
         return total
     wp = pack_kernel3x3(w, segments)
-    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    yp = jax.lax.conv_general_dilated(xp, wp, (1, 1), "SAME",
-                                      dimension_numbers=dn)
+    if int8:
+        from .int8 import int8_conv
+
+        yp = int8_conv(xp, wp, None, out_dtype=xp.dtype)
+    else:
+        dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        yp = jax.lax.conv_general_dilated(xp, wp, (1, 1), "SAME",
+                                          dimension_numbers=dn)
     if b is not None:
         yp = yp + jnp.tile(b, 2)
     return yp
