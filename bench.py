@@ -62,6 +62,9 @@ def main():
                          "experiments/flagship_224/models) so the benched "
                          "graph runs real weights instead of random init")
     ap.add_argument("--ckpt-iter", default="latest")
+    ap.add_argument("--knob", action="append", default=[],
+                    help="engine perf knob overrides, name=value "
+                         "(e.g. --knob int8_conv=1 --knob ksplit_dec=1)")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +115,10 @@ def main():
     mu = jax.random.uniform(key, (batch_size, res, res, 1)) * 2 - 1
     type_idx = jnp.arange(batch_size, dtype=jnp.int32) % 5
     a_emb = jnp.zeros((batch_size, 1, eng.context_dim))
+
+    for kv in args.knob:
+        name, _, val = kv.partition("=")
+        setattr(eng, name, int(val) if val.lstrip("-").isdigit() else val)
 
     sample = jax.jit(eng.build_sample_fn())
     if args.ckpt_dir:

@@ -231,8 +231,14 @@ class CLIPDDPMEngine:
         if packed is None:
             packed = jax.default_backend() == "tpu"
         packed = packed and self.image_size % 2 == 0
-        net = (self.noise_net.clone(packed_l0=True, remat=False)
-               if packed else self.noise_net)
+        clone_kw = {}
+        if packed:
+            clone_kw.update(packed_l0=True, remat=False)
+        if getattr(self, "ksplit_dec", False):
+            clone_kw["ksplit_dec"] = True
+        if getattr(self, "int8_conv", False):
+            clone_kw["int8_conv"] = True
+        net = self.noise_net.clone(**clone_kw) if clone_kw else self.noise_net
 
         def sample(params, text_params, mu, type_idx, a_emb, key):
             text_fn = self._make_text_fn(text_params)

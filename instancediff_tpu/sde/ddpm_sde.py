@@ -49,7 +49,7 @@ class DDPMSDE:
         return t.reshape(bshape), x_t, eps
 
     def reverse_ddpm(self, key, mu, predict_fn: NoisePredictFn, shape=None,
-                     sample_steps=None, eta=None):
+                     sample_steps=None, eta=None, clip_x0=True):
         """Ancestral sampling from pure noise, conditioned through the net.
         One jitted ``lax.scan``.
 
@@ -57,7 +57,14 @@ class DDPMSDE:
         evenly spaced timestep subset (same grid construction as
         ``DriftSDE.reverse_ddpm``); ``eta`` scales the fresh-noise std
         (eta=1, consecutive grid == the exact ancestral DDPM step; eta=0 ==
-        deterministic DDIM)."""
+        deterministic DDIM).
+
+        ``clip_x0`` clamps the per-step x0 estimate to [-1, 1] (the standard
+        DDPM ``clip_denoised`` stabiliser). Sampling starts from PURE noise —
+        unlike the drift sampler, which starts at the degraded image — so
+        near t=T the 1/sqrt(abar_t) amplification feeds prediction error back
+        through the loop; measured unclipped at 224px the state diverges to
+        |x| ~ 1e2 (PSNR -52) while clipped sampling is stable."""
         import numpy as _np
 
         shape = mu.shape if shape is None else shape
@@ -96,6 +103,12 @@ class DDPMSDE:
             # For eta=1 on the consecutive grid this is algebraically the
             # exact ancestral DDPM transition (beta_t formulation).
             x0_hat = (x - s_ * jnp.sqrt(1.0 - abar_t) * eps_hat) / jnp.sqrt(abar_t)
+            if clip_x0:
+                x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
+                # re-derive eps consistent with the clipped estimate so the
+                # carry term matches the clipped-posterior-mean convention
+                eps_hat = (x - jnp.sqrt(abar_t) * x0_hat) / (
+                    s_ * jnp.sqrt(1.0 - abar_t))
             sigma2 = (eta_v**2 * (1.0 - abar_p) / (1.0 - abar_t)
                       * (1.0 - abar_t / abar_p))
             sigma2 = jnp.clip(sigma2, 0.0, 1.0 - abar_p)

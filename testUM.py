@@ -47,6 +47,10 @@ def main():
     parser.add_argument("--eta", type=float, default=None,
                         help="override test.eta (ancestral noise scale; "
                              "0 = deterministic steps)")
+    parser.add_argument("--knob", action="append", default=[],
+                        help="engine perf knob overrides, name=value "
+                             "(e.g. --knob int8_conv=1); same keys as the "
+                             "models.*.engine YAML block")
     args = parser.parse_args()
 
     import jax
@@ -95,6 +99,12 @@ def main():
 
     which_model = opt["train"]["which_model"] if opt.get("train") else "DriftNoise"
     model_opt = opt["models"][which_model]
+    if args.knob:
+        eng_block = dict(model_opt.get("engine") or {})
+        for kv in args.knob:
+            name, _, val = kv.partition("=")
+            eng_block[name] = int(val) if val.lstrip("-").isdigit() else val
+        model_opt["engine"] = eng_block
     model = create_model(None, model_opt, phase="test",
                          image_size=(opt.get("resolution") or 224), seed=seed)
 
