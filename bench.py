@@ -123,7 +123,12 @@ def main():
     sample = jax.jit(eng.build_sample_fn())
     if args.ckpt_dir:
         eng.load(args.ckpt_dir, args.ckpt_iter, load_ema=True)
-        dparams, nparams = eng.state["d_ema"], eng.state["n_ema"]
+        # msgpack restore yields HOST numpy leaves; without an explicit
+        # device_put every jitted call re-transfers the full param trees
+        # over the tunnel (measured 2.54 -> 0.54 img/s!)
+        dparams, nparams = jax.device_put(
+            (eng.state["d_ema"], eng.state["n_ema"]))
+        jax.block_until_ready((dparams, nparams))
     else:
         dparams, nparams = eng.state["drift"], eng.state["noise"]
 
