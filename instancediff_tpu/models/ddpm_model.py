@@ -238,6 +238,8 @@ class CLIPDDPMEngine:
             clone_kw["ksplit_dec"] = True
         if getattr(self, "int8_conv", False):
             clone_kw["int8_conv"] = True
+        if packed and getattr(self, "decomp_l0", False):
+            clone_kw["decomp_l0"] = self.decomp_l0
         net = self.noise_net.clone(**clone_kw) if clone_kw else self.noise_net
 
         def sample(params, text_params, mu, type_idx, a_emb, key):

@@ -40,7 +40,7 @@ from .text_encoder import build_text_encoder
 # measured effects are logged in PERF.md; all default off/1.
 ENGINE_KNOBS = frozenset(
     {"pallas_gn", "fused_gnconv", "scan_unroll", "fuse_dual_train",
-     "packed_l0", "ksplit_dec", "int8_conv"}
+     "packed_l0", "ksplit_dec", "int8_conv", "decomp_l0"}
 )
 
 
@@ -617,6 +617,11 @@ class CLIPDriftEngine:
             # W8A8 ResBlock convs on the v5e int8 MXU path (2x bf16 rate;
             # approximate — validate quality per checkpoint, PERF.md)
             clone_kw["int8_conv"] = True
+        if packed and getattr(self, "decomp_l0", False):
+            # input-grouped decomposition of the packed level-0 convs:
+            # "pair"/1 = two width-2 convs (1.33x logical FLOPs) vs the
+            # dense transformed kernel's 2x; "tap4" = exact 1.0x (4 convs)
+            clone_kw["decomp_l0"] = self.decomp_l0
         sample_net = self.drift_net.clone(**clone_kw) if clone_kw else self.drift_net
         plain_drift_net = sample_net
         plain_noise_net = (self.noise_net.clone(**clone_kw)

@@ -26,7 +26,7 @@ step but hoisted out of the 100-step sampling scan.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -234,6 +234,10 @@ class ResBlock(nn.Module):
     concat_widths: Optional[tuple] = None
     ksplit: bool = False
     int8: bool = False  # W8A8 3x3 convs on the int8 MXU path (engine.int8_conv)
+    decomp: Any = False  # packed convs via input-grouped decompositions:
+    # "pair"/True = two width-2 convs (1.33x logical FLOPs), "tap4" = four
+    # convs at 1.0x — vs the dense transformed kernel's 2x
+    # (engine.decomp_l0, ops/packed_l0.py)
     dtype: jnp.dtype = jnp.float32
 
     def _conv3(self, features, name, kernel_init=None):
@@ -322,7 +326,8 @@ class ResBlock(nn.Module):
         if self.ksplit and _ksplit_groups(segments) is not None:
             ks = [tuple(range(len(segments) - 1)), (len(segments) - 1,)]
         x = pk.packed_conv3x3(x.astype(self.dtype), k1.astype(self.dtype),
-                              segments=segments, k_split=ks, int8=self.int8)
+                              segments=segments, k_split=ks, int8=self.int8,
+                              decomp=self.decomp)
         # conv1 bias + the timestep projection, parity-tiled [B, 2*out_ch]
         bias1 = (jnp.tile(b1, 2)[None] + jnp.tile(tb, (1, 2))).astype(x.dtype)
         x = x + bias1[:, None, None, :]
@@ -330,7 +335,7 @@ class ResBlock(nn.Module):
                               [self.out_ch])
         x = pk.packed_conv3x3(x.astype(self.dtype), k2.astype(self.dtype),
                               b2.astype(self.dtype), segments=[self.out_ch],
-                              int8=self.int8)
+                              int8=self.int8, decomp=self.decomp)
         if in_ch == self.out_ch and len(segments) == 1:
             res = hp
         else:
@@ -433,6 +438,10 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
     int8_conv: bool = False  # W8A8 ResBlock convs on the int8 MXU path
     # (2x bf16 rate on v5e; engine.int8_conv — quality must be validated
     # per checkpoint, ops/int8.py)
+    decomp_l0: Any = False  # packed level-0 ResBlock convs via exact
+    # input-grouped decompositions ("pair" = 1.33x logical FLOPs two-conv,
+    # "tap4" = 1.0x four-conv; dense transformed kernel is 2x;
+    # engine.decomp_l0, ops/packed_l0.py)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -461,6 +470,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         packed_segments=((self.nf,) if (self.packed_l0 and i == 0)
                                          else None),
                         int8=self.int8_conv,
+                        decomp=self.decomp_l0,
                         dtype=self.dtype,
                         name=f"enc_{i}_{j}",
                     )
@@ -548,6 +558,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         concat_widths=cw,
                         ksplit=self.ksplit_dec,
                         int8=self.int8_conv,
+                        decomp=self.decomp_l0,
                         dtype=self.dtype,
                         name=f"dec_{i}_{j}",
                     )

@@ -92,7 +92,7 @@ def pack_kernel3x3(w, segments: Sequence[int]):
 
 def packed_conv3x3(xp, w, b=None, segments: Sequence[int] | None = None,
                    k_split: Sequence[Sequence[int]] | None = None,
-                   int8: bool = False):
+                   int8: bool = False, decomp: bool = False):
     """3x3 SAME conv on a packed tensor -> packed [.., 2*Co].
 
     ``int8``: quantize the transformed kernel (per packed-output-channel) and
@@ -104,9 +104,19 @@ def packed_conv3x3(xp, w, b=None, segments: Sequence[int] | None = None,
     convs over channel slices — exact by linearity. Grouping the wide
     segments to a multiple of 64 (128 packed lanes per pair of K-tiles)
     avoids padding the MXU contraction dimension with the thin score-map
-    tail (PERF.md round-3 K-tile fragmentation lever)."""
+    tail (PERF.md round-3 K-tile fragmentation lever).
+
+    ``decomp``: input-grouped decompositions replacing the 2x-FLOPs dense
+    transformed kernel — "pair"/ True = two width-2 convs at 1.33x logical
+    FLOPs (packed_conv3x3_pair); "tap4" = four convs at exactly 1.0x
+    (packed_conv3x3_decomposed; measured LOSS end-to-end, PERF.md). Takes
+    precedence over ``k_split``."""
     C2 = xp.shape[-1]
     segments = list(segments) if segments is not None else [C2 // 2]
+    if decomp and not int8:
+        if decomp == "tap4":
+            return packed_conv3x3_decomposed(xp, w, b, segments=segments)
+        return packed_conv3x3_pair(xp, w, b, segments=segments)
     if k_split is not None:
         offs, _ = seg_offsets(segments)
         total = None
@@ -158,6 +168,104 @@ def packed_conv1x1(xp, w, b=None, segments: Sequence[int] | None = None):
     if b is not None:
         yp = yp + jnp.tile(b, 2)
     return yp
+
+
+def packed_conv3x3_decomposed(xp, w, b=None, segments: Sequence[int] | None = None):
+    """3x3 SAME conv on a packed tensor at EXACTLY logical FLOPs.
+
+    The dense packed kernel (pack_kernel3x3) runs at 2x logical FLOPs
+    (50%-sparse [3,3,2C,2Co]). Grouping the taps by INPUT (column, parity)
+    instead removes the zeros:
+
+      output p0 (orig col 2J) reads (J-1,p1)w0, (J,p0)w1, (J,p1)w2
+      output p1 (orig col 2J+1) reads (J,p0)w0, (J,p1)w1, (J+1,p0)w2
+
+    so the conv is four [3,1]-kernel convs summed:
+      A: xp_p0 with [w1 | w0] -> all 2Co lanes      (full-lane, 1/3 of MACs)
+      B: xp_p1 with [w2 | w1] -> all 2Co lanes      (full-lane, 1/3)
+      C: xp_p1 shifted -1 col with w0 -> p0 half    (half-lane, 1/6)
+      D: xp_p0 shifted +1 col with w2 -> p1 half    (half-lane, 1/6)
+    Shifts are expressed as asymmetric (+1,-1)/(-1,+1) W-padding. Exact; the
+    MXU cost is ~1.2x logical-time vs the dense kernel's 2x IF per-op
+    overheads don't dominate (engine.decomp_l0 — measure end to end)."""
+    C2 = xp.shape[-1]
+    segments = list(segments) if segments is not None else [C2 // 2]
+    offs, total = seg_offsets(segments)
+    kh, kw, Ci, Co = w.shape
+    assert kh == 3 and kw == 3 and Ci == total
+
+    # per-parity channel views (segment-parity-major layout)
+    xp0 = jnp.concatenate(
+        [xp[..., 2 * o:2 * o + c] for o, c in zip(offs, segments)], axis=-1)
+    xp1 = jnp.concatenate(
+        [xp[..., 2 * o + c:2 * o + 2 * c] for o, c in zip(offs, segments)],
+        axis=-1)
+
+    def conv(x, k, wpad):
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), wpad), dimension_numbers=dn)
+
+    w0, w1, w2 = w[:, 0:1], w[:, 1:2], w[:, 2:3]  # [3,1,Ci,Co] each
+    kA = jnp.concatenate([w1, w0], axis=-1)  # -> [p0 | p1] halves
+    kB = jnp.concatenate([w2, w1], axis=-1)
+    y = conv(xp0, kA, (0, 0)) + conv(xp1, kB, (0, 0))
+    c_half = conv(xp1, w0, (1, -1))  # output col J reads input col J-1
+    d_half = conv(xp0, w2, (-1, 1))  # output col J reads input col J+1
+    y = y + jnp.concatenate([c_half, d_half], axis=-1)
+    if b is not None:
+        y = y + jnp.tile(b, 2)
+    return y
+
+
+def packed_conv3x3_pair(xp, w, b=None, segments: Sequence[int] | None = None):
+    """3x3 SAME conv on a packed tensor as TWO width-2 convs (1.33x logical
+    FLOPs vs the dense transformed kernel's 2x).
+
+    Groups the four decomposed taps (packed_conv3x3_decomposed) by input
+    parity: all xp0 reads become one [3,2] conv (pad W (0,1)), all xp1 reads
+    one [3,2] conv (pad W (1,0)); each kernel is 25% sparse:
+
+      A[:,0] = [w1 | w0], A[:,1] = [0 | w2]   on xp0
+      B[:,0] = [w0 | 0 ], B[:,1] = [w2 | w1]  on xp1
+
+    Both emit full 2Co lanes and sum — no output concat, and for a single
+    segment the parity views are contiguous channel slices
+    (engine.decomp_l0 = "pair")."""
+    C2 = xp.shape[-1]
+    segments = list(segments) if segments is not None else [C2 // 2]
+    offs, total = seg_offsets(segments)
+    kh, kw, Ci, Co = w.shape
+    assert kh == 3 and kw == 3 and Ci == total
+
+    if len(segments) == 1:
+        xp0, xp1 = xp[..., :total], xp[..., total:]
+    else:
+        xp0 = jnp.concatenate(
+            [xp[..., 2 * o:2 * o + c] for o, c in zip(offs, segments)],
+            axis=-1)
+        xp1 = jnp.concatenate(
+            [xp[..., 2 * o + c:2 * o + 2 * c] for o, c in zip(offs, segments)],
+            axis=-1)
+
+    w0, w1, w2 = w[:, 0], w[:, 1], w[:, 2]  # [3,Ci,Co] each
+    z = jnp.zeros_like(w0)
+    kA = jnp.stack([jnp.concatenate([w1, w0], axis=-1),
+                    jnp.concatenate([z, w2], axis=-1)], axis=1)
+    kB = jnp.stack([jnp.concatenate([w0, z], axis=-1),
+                    jnp.concatenate([w2, w1], axis=-1)], axis=1)
+
+    def conv(x, k, wpad):
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), wpad), dimension_numbers=dn)
+
+    y = conv(xp0, kA, (0, 1)) + conv(xp1, kB, (1, 0))
+    if b is not None:
+        y = y + jnp.tile(b, 2)
+    return y
 
 
 def pack_kernel_down(w):

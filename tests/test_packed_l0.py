@@ -287,3 +287,53 @@ def test_unet_ksplit_dec_matches_standard():
             params, x_a, x_b, t, ty, text_embs=text_embs, image_context=ctx)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_packed_conv3x3_decomp_exact():
+    """The 4-tap input-grouped decomposition (decomp=True) == the dense
+    transformed-kernel conv, including multi-segment inputs and bias."""
+    a = jax.random.normal(jax.random.key(0), (1, 8, 8, 64))
+    s = jax.random.normal(jax.random.key(1), (1, 8, 8, 64))
+    m = jax.random.normal(jax.random.key(2), (1, 8, 8, 16))
+    w = jax.random.normal(jax.random.key(3), (3, 3, 144, 64)) * 0.1
+    b = jax.random.normal(jax.random.key(4), (64,)) * 0.1
+    xp = jnp.concatenate([pack_w(a), pack_w(s), pack_w(m)], axis=-1)
+    ref = packed_conv3x3(xp, w, b, segments=[64, 64, 16])
+    for mode in ("tap4", "pair"):
+        got = packed_conv3x3(xp, w, b, segments=[64, 64, 16], decomp=mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        # single segment, against the plain logical conv
+        ref2 = _conv(a, w[:, :, :64, :]) + b
+        got2 = unpack_w(packed_conv3x3(pack_w(a), w[:, :, :64, :], b,
+                                       decomp=mode))
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_unet_decomp_l0_matches_standard():
+    """Full UNet cloned with packed_l0 + decomp_l0 on the SAME params
+    produces identical predictions to the plain forward."""
+    from instancediff_tpu.models.unet import LearnableForwardUNetMultiScoreMap
+
+    net = LearnableForwardUNetMultiScoreMap(
+        in_nc=2, out_nc=5, nf=64, ch_mult=(1, 2), context_dim=16,
+        score_map_chan=16, score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, token_embed_dim=16, num_res_blocks=1)
+    B, H = 1, 16
+    x_a = jax.random.normal(jax.random.key(0), (B, H, H, 1))
+    x_b = jax.random.normal(jax.random.key(1), (B, H, H, 1))
+    t = jnp.array([3], jnp.int32)
+    ty = jnp.array([2], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (B, 1, 16)) * 0.1
+    text_embs = [jax.random.normal(jax.random.key(3 + i), (5, 16)) * 0.1
+                 for i in range(2)]
+    params = net.init(jax.random.key(9), x_a, x_b, t, ty,
+                      text_embs=text_embs, image_context=ctx)
+    ref, _ = net.apply(params, x_a, x_b, t, ty,
+                       text_embs=text_embs, image_context=ctx)
+    for mode in ("tap4", "pair"):
+        got, _ = net.clone(packed_l0=True, decomp_l0=mode).apply(
+            params, x_a, x_b, t, ty, text_embs=text_embs, image_context=ctx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
