@@ -122,7 +122,9 @@ def test_ddpm_oracle_reverse():
         abar = sde.alphas_bar[t_b].reshape(-1, 1, 1, 1)
         return (x_t - jnp.sqrt(abar) * x0) / jnp.sqrt(1 - abar)
 
-    out = sde.reverse_ddpm(jax.random.key(1), x0, oracle)
+    # clip_x0 (the image-range stabiliser) off: the oracle's x0 is a
+    # standard normal, not an image in [-1, 1]
+    out = sde.reverse_ddpm(jax.random.key(1), x0, oracle, clip_x0=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
 
 
@@ -137,7 +139,7 @@ def test_ddpm_oracle_reverse_max_sigma():
         abar = sde.alphas_bar[t_b].reshape(-1, 1, 1, 1)
         return (x_t - jnp.sqrt(abar) * x0) / (s * jnp.sqrt(1 - abar))
 
-    out = sde.reverse_ddpm(jax.random.key(1), x0, oracle)
+    out = sde.reverse_ddpm(jax.random.key(1), x0, oracle, clip_x0=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
 
 
