@@ -94,18 +94,27 @@ def encode_image_fn(tower, params, normalize=True):
     return f
 
 
-def load_torch_clip_vision_weights(params, checkpoint_path):
-    """Convert a torch open_clip/timm ViT state dict (.bin/.pt) into this
-    tower's param tree when the asset exists (the reference ships no weights —
+def load_torch_clip_vision_weights(params, checkpoint_path_or_sd):
+    """Convert a torch open_clip/timm/OpenAI ViT state dict (.bin/.pt path,
+    torch.jit archive path, or an already-loaded mapping) into this tower's
+    param tree when the asset exists (the reference ships no weights —
     models/BiomedCLIP/open_clip_pytorch_model.bin is an unreleased TODO).
     Returns updated params; raises FileNotFoundError when absent."""
     import os
 
-    if not checkpoint_path or not os.path.isfile(checkpoint_path):
-        raise FileNotFoundError(checkpoint_path)
-    import torch  # CPU-only torch is available in this image
+    if isinstance(checkpoint_path_or_sd, (str, os.PathLike)):
+        if not os.path.isfile(checkpoint_path_or_sd):
+            raise FileNotFoundError(checkpoint_path_or_sd)
+        import torch  # CPU-only torch is available in this image
 
-    sd = torch.load(checkpoint_path, map_location="cpu")
+        try:
+            sd = torch.load(checkpoint_path_or_sd, map_location="cpu")
+        except RuntimeError:
+            # OpenAI ships torch.jit archives (reference openai.py:62-68)
+            sd = torch.jit.load(checkpoint_path_or_sd,
+                                map_location="cpu").eval()
+    else:
+        sd = checkpoint_path_or_sd
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
 
