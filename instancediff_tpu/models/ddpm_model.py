@@ -240,6 +240,9 @@ class CLIPDDPMEngine:
             clone_kw["int8_conv"] = True
         if packed and getattr(self, "decomp_l0", False):
             clone_kw["decomp_l0"] = self.decomp_l0
+        if packed and getattr(self, "tapsum_out", True):
+            # exact, +1.6% (PERF.md); default ON, engine.tapsum_out = 0 off
+            clone_kw["tapsum_out"] = True
         net = self.noise_net.clone(**clone_kw) if clone_kw else self.noise_net
 
         def sample(params, text_params, mu, type_idx, a_emb, key):

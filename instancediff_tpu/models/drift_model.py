@@ -40,7 +40,7 @@ from .text_encoder import build_text_encoder
 # measured effects are logged in PERF.md; all default off/1.
 ENGINE_KNOBS = frozenset(
     {"pallas_gn", "fused_gnconv", "scan_unroll", "fuse_dual_train",
-     "packed_l0", "ksplit_dec", "int8_conv", "decomp_l0"}
+     "packed_l0", "ksplit_dec", "int8_conv", "decomp_l0", "tapsum_out"}
 )
 
 
@@ -622,6 +622,12 @@ class CLIPDriftEngine:
             # "pair"/1 = two width-2 convs (1.33x logical FLOPs) vs the
             # dense transformed kernel's 2x; "tap4" = exact 1.0x (4 convs)
             clone_kw["decomp_l0"] = self.decomp_l0
+        if packed and getattr(self, "tapsum_out", True):
+            # conv_out as one tap-stacked matmul (90/128 MXU lanes vs
+            # 10/128 direct — the 13 TF/s outlier in the r3 profile).
+            # Exact; measured +1.6% end-to-end (PERF.md) — default ON,
+            # disable via engine.tapsum_out = 0
+            clone_kw["tapsum_out"] = True
         sample_net = self.drift_net.clone(**clone_kw) if clone_kw else self.drift_net
         plain_drift_net = sample_net
         plain_noise_net = (self.noise_net.clone(**clone_kw)

@@ -442,6 +442,8 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
     # input-grouped decompositions ("pair" = 1.33x logical FLOPs two-conv,
     # "tap4" = 1.0x four-conv; dense transformed kernel is 2x;
     # engine.decomp_l0, ops/packed_l0.py)
+    tapsum_out: bool = False  # packed conv_out as one tap-stacked matmul
+    # (90/128 MXU lanes vs 10/128 direct; engine.tapsum_out)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -785,8 +787,10 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         gs, gb = self.norm_out(self.nf)
         h = pk.gn_silu_packed(h, gs, gb, _gn_groups(self.nf), [self.nf])
         ko, bo = self.conv_out(self.nf)
-        out_p = pk.packed_conv3x3(h.astype(dt), ko.astype(dt), bo.astype(dt),
-                                  segments=[self.nf])  # [B,H,Wp,2*out_nc]
+        conv_fn = (pk.packed_conv3x3_tapsum if self.tapsum_out
+                   else pk.packed_conv3x3)
+        out_p = conv_fn(h.astype(dt), ko.astype(dt), bo.astype(dt),
+                        segments=[self.nf])  # [B,H,Wp,2*out_nc]
         if self.out_nc > 1:
             idx = jnp.stack([type_idx, type_idx + self.out_nc], axis=-1)
             pred_p = jnp.take_along_axis(

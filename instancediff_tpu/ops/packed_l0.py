@@ -268,6 +268,36 @@ def packed_conv3x3_pair(xp, w, b=None, segments: Sequence[int] | None = None):
     return y
 
 
+def packed_conv3x3_tapsum(xp, w, b=None, segments: Sequence[int] | None = None):
+    """3x3 packed conv for TINY output widths (conv_out: 2*out_nc lanes).
+
+    A direct conv with Co2=10 uses 10/128 MXU output lanes (measured
+    13 TF/s, profile r3). Stacking all 9 taps' outputs on the lane dim turns
+    it into ONE 1x1 matmul ``[.., 2C] @ [2C, 9*Co2]`` (90/128 lanes for the
+    flagship) followed by 9 shifted slice-adds on the VPU. Exact
+    (engine.tapsum_out)."""
+    wp = pack_kernel3x3(w, list(segments) if segments is not None
+                        else [xp.shape[-1] // 2])
+    kh, kw, C2, Co2 = wp.shape
+    wmat = jnp.transpose(wp, (2, 0, 1, 3)).reshape(C2, kh * kw * Co2)
+    z = xp @ wmat  # [B, H, Wp, 9*Co2]
+    B, H, Wp, _ = z.shape
+    y = None
+    for dy in range(3):
+        for dx in range(3):
+            t = (dy * 3 + dx) * Co2
+            sl = z[..., t:t + Co2]
+            dh, dw = dy - 1, dx - 1  # out[i,j] = z[i+dh, j+dw]
+            sl = jnp.pad(sl, ((0, 0), (max(-dh, 0), max(dh, 0)),
+                              (max(-dw, 0), max(dw, 0)), (0, 0)))
+            sl = sl[:, max(dh, 0):max(dh, 0) + H,
+                    max(dw, 0):max(dw, 0) + Wp, :]
+            y = sl if y is None else y + sl
+    if b is not None:
+        y = y + jnp.tile(b, 2)
+    return y
+
+
 def pack_kernel_down(w):
     """Stride-(2,2) SAME 3x3 conv kernel -> packed-input variant.
 

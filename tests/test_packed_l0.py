@@ -11,6 +11,7 @@ from instancediff_tpu.ops.packed_l0 import (
     pack_w,
     packed_conv1x1,
     packed_conv3x3,
+    packed_conv3x3_tapsum,
     packed_down_conv,
     packed_up_conv,
     tile_channels,
@@ -309,6 +310,51 @@ def test_packed_conv3x3_decomp_exact():
                                        decomp=mode))
         np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_packed_conv3x3_tapsum_exact():
+    """The tap-stacked-matmul formulation (conv_out path) == the dense
+    transformed-kernel conv, with bias and tiny output widths."""
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 64))
+    w = jax.random.normal(jax.random.key(1), (3, 3, 64, 5)) * 0.2
+    b = jax.random.normal(jax.random.key(2), (5,)) * 0.1
+    xp = pack_w(x)
+    ref = packed_conv3x3(xp, w, b, segments=[64])
+    got = packed_conv3x3_tapsum(xp, w, b, segments=[64])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # and against the plain logical conv
+    ref2 = _conv(x, w) + b
+    np.testing.assert_allclose(np.asarray(unpack_w(got)), np.asarray(ref2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_unet_tapsum_out_matches_standard():
+    """Full UNet cloned with packed_l0 + tapsum_out on the SAME params
+    produces identical predictions to the plain forward (default sampler
+    configuration on TPU)."""
+    from instancediff_tpu.models.unet import LearnableForwardUNetMultiScoreMap
+
+    net = LearnableForwardUNetMultiScoreMap(
+        in_nc=2, out_nc=5, nf=64, ch_mult=(1, 2), context_dim=16,
+        score_map_chan=16, score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, token_embed_dim=16, num_res_blocks=1)
+    B, H = 1, 16
+    x_a = jax.random.normal(jax.random.key(0), (B, H, H, 1))
+    x_b = jax.random.normal(jax.random.key(1), (B, H, H, 1))
+    t = jnp.array([3], jnp.int32)
+    ty = jnp.array([2], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (B, 1, 16)) * 0.1
+    text_embs = [jax.random.normal(jax.random.key(3 + i), (5, 16)) * 0.1
+                 for i in range(2)]
+    params = net.init(jax.random.key(9), x_a, x_b, t, ty,
+                      text_embs=text_embs, image_context=ctx)
+    ref, _ = net.apply(params, x_a, x_b, t, ty,
+                       text_embs=text_embs, image_context=ctx)
+    got, _ = net.clone(packed_l0=True, tapsum_out=True).apply(
+        params, x_a, x_b, t, ty, text_embs=text_embs, image_context=ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_unet_decomp_l0_matches_standard():
