@@ -86,6 +86,27 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
     "ViT-L-16-CL32-GAP": {
         "clipa": _apcfg(filename="vit_l16_cl32_gap.pt"),
     },
+    # CoCa registry rows (reference pretrained.py:279-286,324-325)
+    "coca_ViT-B-32": {
+        "laion2b_s13b_b90k": _pcfg(
+            hf_hub="laion/CoCa-ViT-B-32-laion2B-s13B-b90k/",
+            filename="open_clip_pytorch_model.bin",
+            converter="coca.load_torch_coca_weights"),
+        "mscoco_finetuned_laion2b_s13b_b90k": _pcfg(
+            hf_hub="laion/mscoco_finetuned_CoCa-ViT-B-32-laion2B-s13B-b90k/",
+            filename="open_clip_pytorch_model.bin",
+            converter="coca.load_torch_coca_weights"),
+    },
+    "coca_ViT-L-14": {
+        "laion2b_s13b_b90k": _pcfg(
+            hf_hub="laion/CoCa-ViT-L-14-laion2B-s13B-b90k/",
+            filename="open_clip_pytorch_model.bin",
+            converter="coca.load_torch_coca_weights"),
+        "mscoco_finetuned_laion2b_s13b_b90k": _pcfg(
+            hf_hub="laion/mscoco_finetuned_CoCa-ViT-L-14-laion2B-s13B-b90k/",
+            filename="open_clip_pytorch_model.bin",
+            converter="coca.load_torch_coca_weights"),
+    },
 }
 
 
