@@ -168,6 +168,38 @@ class PostLNBertLayer(nn.Module):
         return x
 
 
+def mean_pooler(hidden, mask):
+    """Masked mean pooling (hf_model.py MeanPooler, :45-51)."""
+    m = mask[..., None].astype(hidden.dtype)
+    return (hidden * m).sum(axis=1) / m.sum(axis=1).clip(1e-8)
+
+
+def max_pooler(hidden, mask):
+    """Masked max pooling (hf_model.py MaxPooler, :54-60). The vendored copy
+    fills the *valid* positions with -inf (``masked_fill(attention_mask...)``
+    without the upstream ``== 0``) — an upstream open_clip regression never
+    exercised (BiomedCLIP uses CLS pooling); this implements the intended
+    semantics of masking the padding."""
+    return jnp.where(mask[..., None] > 0, hidden, -jnp.inf).max(axis=1)
+
+
+def cls_pooler(hidden, mask):
+    """[CLS]-position pooling (hf_model.py ClsPooler/
+    ClsLastHiddenStatePooler, :63-93; equivalent with
+    use_pooler_output=False)."""
+    del mask
+    return hidden[:, 0]
+
+
+# snake-cased registry mirroring open_clip's ``_POOLERS`` (hf_model.py:34-42)
+POOLERS = {
+    "mean_pooler": mean_pooler,
+    "max_pooler": max_pooler,
+    "cls_pooler": cls_pooler,
+    "cls_last_hidden_state_pooler": cls_pooler,
+}
+
+
 class HFContextTextEncoder(nn.Module):
     """PubMedBERT text tower with context splicing (reference :885-1015).
 
@@ -187,6 +219,7 @@ class HFContextTextEncoder(nn.Module):
     layers: int = 12
     proj_dim: int = 512
     max_position: int = 512
+    pooler_type: str = "cls_last_hidden_state_pooler"  # POOLERS key
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -227,7 +260,8 @@ class HFContextTextEncoder(nn.Module):
             x = PostLNBertLayer(
                 self.hidden, self.heads, dtype=self.dtype, name=f"layer_{i}"
             )(x, mask=add_mask)
-        cls = x[:, 0]  # ClsLastHiddenStatePooler (:934-940)
+        cls = POOLERS[self.pooler_type](x, mask)  # default: CLS last hidden
+        # state (:934-940); mean/max variants via pooler_type
         h = nn.Dense((self.hidden + self.proj_dim) // 2, use_bias=False,
                      dtype=self.dtype, name="proj_fc1")(cls)
         h = exact_gelu(h)

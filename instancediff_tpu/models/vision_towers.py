@@ -118,6 +118,26 @@ class CLIPResNetWithAttention(nn.Module):
         return outs, pooled
 
 
+class ModifiedResNet(nn.Module):
+    """open_clip visual ResNet (BiomedCLIP/modified_resnet.py:95-181): the
+    same 3-conv anti-aliased stem + CLIP bottleneck stages as
+    `CLIPResNetWithAttention`, but with the open_clip tower contract —
+    only the attention-pooled embedding is returned."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    output_dim: int = 512
+    heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        _, pooled = CLIPResNetWithAttention(
+            layers=self.layers, width=self.width, output_dim=self.output_dim,
+            heads=self.heads, dtype=self.dtype, name="trunk")(x)
+        return pooled
+
+
 class CLIPDenseVisionTransformer(nn.Module):
     """Dense ViT tower with FPN necks (reference :593-726): patch tokens are
     reshaped to a feature map and projected to a 4-scale pyramid

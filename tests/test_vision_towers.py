@@ -10,6 +10,7 @@ from instancediff_tpu.models.vision_towers import (
     CLIPResNetWithAttention,
     ContextDecoder,
     ContextDecoderHierarchical,
+    ModifiedResNet,
 )
 
 
@@ -79,3 +80,45 @@ def test_bgr2ycbcr():
     assert abs(bgr2ycbcr(white)[0, 0] - 235.0 / 255.0) < 1e-6
     # rgb flip consistency
     np.testing.assert_allclose(rgb2ycbcr(img[..., ::-1]), y, atol=1e-12)
+
+
+def test_modified_resnet_pooled_contract():
+    """open_clip ModifiedResNet contract: pooled embedding only
+    (modified_resnet.py:173-181)."""
+    net = ModifiedResNet(layers=(1, 1, 1, 1), width=8, output_dim=16, heads=4)
+    x = jnp.ones((2, 32, 32, 3))
+    p = net.init(jax.random.key(0), x)
+    out = net.apply(p, x)
+    assert out.shape == (2, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pooler_variants():
+    """hf_model.py pooler registry analogue (MeanPooler/MaxPooler/ClsPooler,
+    :45-93): masked semantics + registry keys."""
+    from instancediff_tpu.models.text_encoder import (
+        POOLERS, cls_pooler, max_pooler, mean_pooler)
+
+    hidden = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 3)),
+                         jnp.float32)
+    mask = jnp.array([[1, 1, 0, 0], [1, 1, 1, 1]], jnp.int32)
+    mean = np.asarray(mean_pooler(hidden, mask))
+    np.testing.assert_allclose(mean[0], np.asarray(hidden[0, :2]).mean(0),
+                               atol=1e-6)
+    mx = np.asarray(max_pooler(hidden, mask))
+    np.testing.assert_allclose(mx[0], np.asarray(hidden[0, :2]).max(0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cls_pooler(hidden, mask)),
+                               np.asarray(hidden[:, 0]), atol=1e-6)
+    assert set(POOLERS) == {"mean_pooler", "max_pooler", "cls_pooler",
+                            "cls_last_hidden_state_pooler"}
+    # HFContextTextEncoder accepts the pooler_type knob
+    from instancediff_tpu.models.text_encoder import HFContextTextEncoder
+
+    enc = HFContextTextEncoder(vocab_size=32, hidden=8, heads=2, layers=1,
+                               proj_dim=8, max_position=16,
+                               pooler_type="mean_pooler")
+    ids = jnp.array([[2, 5, 9, 3]], jnp.int32)
+    pp = enc.init(jax.random.key(1), ids)
+    out = enc.apply(pp, ids)
+    assert out.shape == (1, 8) and np.isfinite(np.asarray(out)).all()
