@@ -240,6 +240,16 @@ class CLIPDDPMEngine:
             clone_kw["int8_conv"] = True
         if packed and getattr(self, "decomp_l0", False):
             clone_kw["decomp_l0"] = self.decomp_l0
+        if packed and getattr(self, "shift_l0", True) \
+                and not getattr(self, "decomp_l0", False) \
+                and not getattr(self, "int8_conv", False):
+            # shift-alternating level-0 conv pairs (1.33x physical FLOPs;
+            # same default as CLIPDriftEngine — engine.shift_l0)
+            clone_kw["shift_l0"] = True
+        if getattr(self, "flash_mid", False) and jax.default_backend() == "tpu":
+            clone_kw["flash_mid"] = True
+        if packed and getattr(self, "gnfold_l0", False):
+            clone_kw["gnfold_l0"] = True
         if packed and getattr(self, "tapsum_out", True):
             # exact, +1.6% (PERF.md); default ON, engine.tapsum_out = 0 off
             clone_kw["tapsum_out"] = True
@@ -250,10 +260,13 @@ class CLIPDDPMEngine:
             inner = params["params"]
             text_embs = [text_fn(inner["smm_0"]["context"])] if "smm_0" in inner else None
             img_ctx = a_emb if self.use_image_context else None
+            # level-0 kernel packing hoisted out of the scan (drift_model
+            # rationale; no-op when the packed path is off)
+            params_s = net.prepack_params(params)
 
             def predict(x, t_b):
                 out = net.apply(
-                    params, x, mu, t_b, type_idx,
+                    params_s, x, mu, t_b, type_idx,
                     text_embs=text_embs, image_context=img_ctx)
                 return out[0] if isinstance(out, tuple) else out
 

@@ -40,7 +40,8 @@ from .text_encoder import build_text_encoder
 # measured effects are logged in PERF.md; all default off/1.
 ENGINE_KNOBS = frozenset(
     {"pallas_gn", "fused_gnconv", "scan_unroll", "fuse_dual_train",
-     "packed_l0", "ksplit_dec", "int8_conv", "decomp_l0", "tapsum_out"}
+     "packed_l0", "ksplit_dec", "int8_conv", "decomp_l0", "tapsum_out",
+     "shift_l0", "flash_mid", "gnfold_l0"}
 )
 
 
@@ -235,6 +236,14 @@ class CLIPDriftEngine:
                 packed_l0=bool(getattr(self, "packed_train", False)
                                and image_size % 2 == 0
                                and not use_degra_context),
+                # shift-alternating conv pairs in the packed train graph too
+                # (exact & differentiable; same default as sampling)
+                shift_l0=bool(getattr(self, "packed_train", False)
+                              and image_size % 2 == 0
+                              and not use_degra_context
+                              and getattr(self, "shift_l0", True)
+                              and not getattr(self, "decomp_l0", False)
+                              and not getattr(self, "int8_conv", False)),
                 dtype=dtype,
             )
 
@@ -622,6 +631,24 @@ class CLIPDriftEngine:
             # "pair"/1 = two width-2 convs (1.33x logical FLOPs) vs the
             # dense transformed kernel's 2x; "tap4" = exact 1.0x (4 convs)
             clone_kw["decomp_l0"] = self.decomp_l0
+        if packed and getattr(self, "shift_l0", True) \
+                and not getattr(self, "decomp_l0", False) \
+                and not getattr(self, "int8_conv", False):
+            # shift-alternating packing for the level-0 ResBlock conv pairs:
+            # conv1 emits the shifted column packing, conv2 maps back — ONE
+            # conv per layer at 1.33x physical FLOPs vs the dense
+            # transformed kernel's 2x, zero relayout copies (exact;
+            # ops/packed_l0.py). Disable via engine.shift_l0 = 0.
+            clone_kw["shift_l0"] = True
+        if packed and getattr(self, "gnfold_l0", False):
+            # packed GroupNorm group-fold via contiguous reshape-reduce
+            # instead of the 4 tiny one-hot matmuls per GN (exact)
+            clone_kw["gnfold_l0"] = True
+        if getattr(self, "flash_mid", False) and jax.default_backend() == "tpu":
+            # bottleneck attention via the Pallas blockwise-softmax kernel:
+            # skips the materialised [B,h,N,N] softmax HBM round-trip
+            # (~0.8 ms/step at 256px in the r3 profile; engine.flash_mid)
+            clone_kw["flash_mid"] = True
         if packed and getattr(self, "tapsum_out", True):
             # conv_out as one tap-stacked matmul (90/128 MXU lanes vs
             # 10/128 direct — the 13 TF/s outlier in the r3 profile).
@@ -679,15 +706,22 @@ class CLIPDriftEngine:
                     preds = vnet(stacked, x_b, stacked_text, x_a, t_b)
                     return to_drift_eps(x, t_b, preds[0], preds[1], mu)
             else:
+                # hoist the level-0 kernel packing out of the scan: transform
+                # once per sample call instead of per step (the scatter/
+                # update-slice transform chains are NOT loop-invariant-hoisted
+                # by XLA — measured in the r3 device trace)
+                dparams_s = plain_drift_net.prepack_params(dparams)
+                nparams_s = plain_noise_net.prepack_params(nparams)
+
                 def predict(x, t_b):
                     d_in, n_in = net_inputs(x, mu)
                     pd, _ = plain_drift_net.apply(
-                        dparams, d_in[0], d_in[1], t_b, type_idx,
+                        dparams_s, d_in[0], d_in[1], t_b, type_idx,
                         text_embs=d_text, image_context=img_ctx,
                         degra_context=degra_ctx,
                     )
                     pn, _ = plain_noise_net.apply(
-                        nparams, n_in[0], n_in[1], t_b, type_idx,
+                        nparams_s, n_in[0], n_in[1], t_b, type_idx,
                         text_embs=n_text, image_context=img_ctx,
                         degra_context=degra_ctx,
                     )

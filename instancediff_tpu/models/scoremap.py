@@ -158,9 +158,11 @@ class ScoreMapModule(nn.Module):
         q = jnp.broadcast_to(text_emb[None], (B, K, self.embed_dim)).astype(visp.dtype)
         for layer in self.decoder:
             q = layer(q, memory)
-        # block-diagonal vis_in on the packed full-res features
-        w_in = self.vis_in.variables["params"]["kernel"]
-        b_in = self.vis_in.variables["params"]["bias"]
+        # block-diagonal vis_in on the packed full-res features (prefer the
+        # pre-packed matrix when prepack_params hoisted the transform)
+        vis_vars = self.vis_in.variables["params"]
+        w_in = vis_vars.get("kernel_packed", vis_vars["kernel"])
+        b_in = vis_vars["bias"]
         tokens = packed_conv1x1(visp.astype(self.dtype),
                                 w_in.astype(self.dtype),
                                 b_in.astype(self.dtype),

@@ -112,8 +112,19 @@ class _GNParams(nn.Module):
                 self.param("bias", nn.initializers.zeros, (C,)))
 
 
+def _deep_dict(d):
+    """Nested FrozenDict/dict -> nested mutable dicts (leaves untouched)."""
+    if hasattr(d, "items"):
+        return {k: _deep_dict(v) for k, v in d.items()}
+    return d
+
+
 class _ConvParams(nn.Module):
-    """Param-only stand-in for nn.Conv (3x3): identical {kernel, bias}."""
+    """Param-only stand-in for nn.Conv (3x3): identical {kernel, bias}.
+
+    When ``prepack_params`` added a ``kernel_packed`` sibling (the packed
+    transform hoisted out of the sampling scan), it is returned instead of
+    the raw kernel — the packed ops shape-sniff either form."""
 
     out_ch: int
     kernel_init: Callable = nn.initializers.lecun_normal()
@@ -122,6 +133,8 @@ class _ConvParams(nn.Module):
     def __call__(self, in_ch):
         k = self.param("kernel", self.kernel_init, (3, 3, in_ch, self.out_ch))
         b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        if self.has_variable("params", "kernel_packed"):
+            k = self.get_variable("params", "kernel_packed")
         return k, b
 
 
@@ -135,6 +148,8 @@ class _Conv1x1Params(nn.Module):
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (1, 1, in_ch, self.out_ch))
         b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        if self.has_variable("params", "kernel_packed"):
+            k = self.get_variable("params", "kernel_packed")
         return k, b
 
 
@@ -148,6 +163,8 @@ class _ConvTParams(nn.Module):
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (4, 4, in_ch, self.out_ch))
         b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        if self.has_variable("params", "kernel_packed"):
+            k = self.get_variable("params", "kernel_packed")
         return k, b
 
 
@@ -238,6 +255,13 @@ class ResBlock(nn.Module):
     # "pair"/True = two width-2 convs (1.33x logical FLOPs), "tap4" = four
     # convs at 1.0x — vs the dense transformed kernel's 2x
     # (engine.decomp_l0, ops/packed_l0.py)
+    shift: bool = False  # shift-alternating packing: conv1 emits the SHIFTED
+    # column packing, conv2 maps back — both width-2 kernels at 1.33x
+    # physical FLOPs (vs the dense transformed kernel's 2x) while keeping
+    # ONE conv per layer and zero relayout copies (engine.shift_l0,
+    # ops/packed_l0.py)
+    gn_fold: str = "matmul"  # GroupNorm group-fold: "matmul" (one-hot) or
+    # "reshape" (contiguous reduce + repeat; engine.gnfold_l0)
     dtype: jnp.dtype = jnp.float32
 
     def _conv3(self, features, name, kernel_init=None):
@@ -321,21 +345,37 @@ class ResBlock(nn.Module):
         tb = nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(
             nn.silu(temb))  # [B, out_ch]
 
-        x = pk.gn_silu_packed(hp, g1s, g1b, _gn_groups(in_ch), segments)
-        ks = None
-        if self.ksplit and _ksplit_groups(segments) is not None:
-            ks = [tuple(range(len(segments) - 1)), (len(segments) - 1,)]
-        x = pk.packed_conv3x3(x.astype(self.dtype), k1.astype(self.dtype),
-                              segments=segments, k_split=ks, int8=self.int8,
-                              decomp=self.decomp)
-        # conv1 bias + the timestep projection, parity-tiled [B, 2*out_ch]
-        bias1 = (jnp.tile(b1, 2)[None] + jnp.tile(tb, (1, 2))).astype(x.dtype)
-        x = x + bias1[:, None, None, :]
-        x = pk.gn_silu_packed(x, g2s, g2b, _gn_groups(self.out_ch),
-                              [self.out_ch])
-        x = pk.packed_conv3x3(x.astype(self.dtype), k2.astype(self.dtype),
-                              b2.astype(self.dtype), segments=[self.out_ch],
-                              int8=self.int8, decomp=self.decomp)
+        x = pk.gn_silu_packed(hp, g1s, g1b, _gn_groups(in_ch), segments,
+                              fold_mode=self.gn_fold)
+        if self.shift and not (self.int8 or self.decomp):
+            # shift-alternating: conv1 std->shifted, conv2 shifted->std,
+            # both 1.33x physical FLOPs (ops/packed_l0.py)
+            q = pk.conv3x3_std_to_shift(x.astype(self.dtype),
+                                        k1.astype(self.dtype),
+                                        segments=segments)
+            bias1 = (jnp.tile(b1, 2)[None] + jnp.tile(tb, (1, 2))).astype(
+                q.dtype)
+            q = q + bias1[:, None, None, :]
+            q = pk.gn_silu_shifted(q, g2s, g2b, _gn_groups(self.out_ch),
+                                   fold_mode=self.gn_fold)
+            x = pk.conv3x3_shift_to_std(q.astype(self.dtype),
+                                        k2.astype(self.dtype),
+                                        b2.astype(self.dtype))
+        else:
+            ks = None
+            if self.ksplit and _ksplit_groups(segments) is not None:
+                ks = [tuple(range(len(segments) - 1)), (len(segments) - 1,)]
+            x = pk.packed_conv3x3(x.astype(self.dtype), k1.astype(self.dtype),
+                                  segments=segments, k_split=ks, int8=self.int8,
+                                  decomp=self.decomp)
+            # conv1 bias + timestep projection, parity-tiled [B, 2*out_ch]
+            bias1 = (jnp.tile(b1, 2)[None] + jnp.tile(tb, (1, 2))).astype(x.dtype)
+            x = x + bias1[:, None, None, :]
+            x = pk.gn_silu_packed(x, g2s, g2b, _gn_groups(self.out_ch),
+                                  [self.out_ch], fold_mode=self.gn_fold)
+            x = pk.packed_conv3x3(x.astype(self.dtype), k2.astype(self.dtype),
+                                  b2.astype(self.dtype), segments=[self.out_ch],
+                                  int8=self.int8, decomp=self.decomp)
         if in_ch == self.out_ch and len(segments) == 1:
             res = hp
         else:
@@ -381,9 +421,15 @@ class ResBlock(nn.Module):
 
 
 class SelfAttention2D(nn.Module):
-    """Spatial self-attention at the bottleneck."""
+    """Spatial self-attention at the bottleneck.
+
+    ``use_flash`` routes the core through the Pallas blockwise-softmax
+    kernel (ops/pallas_kernels.py) — at 256px the bottleneck is 1024 tokens
+    and the materialised [B,h,1024,1024] softmax is pure HBM traffic
+    (~0.8 ms/step in the r3 sampler profile; engine.flash_mid)."""
 
     heads: int = 4
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -393,7 +439,16 @@ class SelfAttention2D(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="q")(x)
         k = nn.Dense(C, dtype=self.dtype, name="k")(x)
         v = nn.Dense(C, dtype=self.dtype, name="v")(x)
-        attn = multi_head_attention(q, k, v, self.heads)
+        if self.use_flash:
+            from ..ops.pallas_kernels import flash_attention
+
+            Dh = C // self.heads
+            def split(z):
+                return z.reshape(B, H * W, self.heads, Dh).transpose(0, 2, 1, 3)
+            attn = flash_attention(split(q), split(k), split(v))
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, H * W, C)
+        else:
+            attn = multi_head_attention(q, k, v, self.heads)
         out = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="out")(attn)
         return h + out.reshape(B, H, W, C)
 
@@ -444,6 +499,15 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
     # engine.decomp_l0, ops/packed_l0.py)
     tapsum_out: bool = False  # packed conv_out as one tap-stacked matmul
     # (90/128 MXU lanes vs 10/128 direct; engine.tapsum_out)
+    shift_l0: bool = False  # level-0 ResBlock conv pairs via shift-
+    # alternating packing (1.33x physical FLOPs vs the dense transformed
+    # kernel's 2x; engine.shift_l0, ops/packed_l0.py)
+    flash_mid: bool = False  # bottleneck self-attention via the Pallas
+    # blockwise-softmax kernel (no materialised [N,N] logits;
+    # engine.flash_mid)
+    gnfold_l0: bool = False  # packed GroupNorm group-fold via contiguous
+    # reshape-reduce instead of the one-hot matmuls (exact;
+    # engine.gnfold_l0)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -473,6 +537,8 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                                          else None),
                         int8=self.int8_conv,
                         decomp=self.decomp_l0,
+                        shift=self.shift_l0,
+                        gn_fold="reshape" if self.gnfold_l0 else "matmul",
                         dtype=self.dtype,
                         name=f"enc_{i}_{j}",
                     )
@@ -494,7 +560,8 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         use_packed_conv=self.use_packed_conv,
                         int8=self.int8_conv,
                              dtype=self.dtype, name="mid1")
-        self.mid_attn = SelfAttention2D(dtype=self.dtype, name="mid_attn")
+        self.mid_attn = SelfAttention2D(use_flash=self.flash_mid,
+                                        dtype=self.dtype, name="mid_attn")
         self.mid2 = RB(mid_ch, use_context=self.use_image_context,
                              context_dim=self.context_dim,
                              use_pallas_gn=self.use_pallas_gn,
@@ -561,6 +628,8 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         ksplit=self.ksplit_dec,
                         int8=self.int8_conv,
                         decomp=self.decomp_l0,
+                        shift=self.shift_l0,
+                        gn_fold="reshape" if self.gnfold_l0 else "matmul",
                         dtype=self.dtype,
                         name=f"dec_{i}_{j}",
                     )
@@ -692,6 +761,79 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
             return pred, [m for m in scoremaps if m is not None]
         return pred
 
+    def prepack_params(self, variables):
+        """Pre-transform the level-0 conv kernels into their packed forms.
+
+        The packed ops (ops/packed_l0.py) build transformed kernels from the
+        raw checkpoint leaves at trace time; inside the sampling ``lax.scan``
+        XLA does NOT hoist those scatter/update-slice chains out of the while
+        body (measured ~0.5 ms/step of transform ops in the r3 device
+        trace). Calling this ONCE per sample invocation — outside the scan —
+        hands the ops pre-packed kernels, which they shape-sniff and use
+        as-is. Pure function of the param tree; sampling only (training
+        needs gradients w.r.t. the raw kernels)."""
+        if (not self.packed_l0 or self.int8_conv or self.decomp_l0
+                or self.ksplit_dec):
+            return variables
+        from ..ops import packed_l0 as pk
+
+        var = {k: v for k, v in variables.items()}
+        params = _deep_dict(var.get("params", {}))
+        var["params"] = params
+        nf, smc = self.nf, self.score_map_chan
+        shift = self.shift_l0
+
+        def tx(path, fn):
+            """Store fn(kernel) as a ``kernel_packed`` SIBLING (flax
+            validates declared param shapes, so the raw leaf stays; the
+            holders prefer the packed sibling and XLA DCEs the raw fetch)."""
+            d = params
+            for p in path[:-1]:
+                if not isinstance(d, dict) or p not in d:
+                    return
+                d = d[p]
+            if isinstance(d, dict) and path[-1] in d:
+                d["kernel_packed" if path[-1] == "kernel" else
+                  path[-1] + "_packed"] = fn(d[path[-1]])
+
+        tx(("conv_in", "kernel"), lambda k: pk.pack_kernel3x3(k, [1, 1]))
+
+        def block(name, segments):
+            segs = list(segments)
+            if shift:
+                tx((name, "conv1", "kernel"),
+                   lambda k: pk.pack_kernel3x3_s2s(k, segs))
+                tx((name, "conv2", "kernel"), pk.pack_kernel3x3_shift2std)
+            else:
+                tx((name, "conv1", "kernel"),
+                   lambda k: pk.pack_kernel3x3(k, segs))
+                tx((name, "conv2", "kernel"),
+                   lambda k: pk.pack_kernel3x3(k, [k.shape[-2]]))
+            tx((name, "skip", "kernel"),
+               lambda k: pk.pack_kernel1x1(k, segs))
+
+        for j in range(self.num_res_blocks):
+            block(f"enc_0_{j}", [nf])
+        for j in range(self.num_res_blocks + 1):
+            block(f"dec_0_{j}", [nf, nf, smc] if j == 0 else [nf])
+        tx(("down_0", "kernel"), pk.pack_kernel_down)
+        tx(("up_0", "kernel"), pk.pack_kernel_up)
+        tx(("smm_fuse_0", "kernel"),
+           lambda k: pk.pack_kernel1x1(k, [k.shape[-2]]))
+        tx(("smm_0", "vis_in", "kernel"),
+           lambda k: pk.pack_kernel1x1(k, [k.shape[0]]))
+        if self.tapsum_out:
+            def tapmat(k):
+                wp = pk.pack_kernel3x3(k, [nf])
+                kh, kw, C2, Co2 = wp.shape
+                return jnp.transpose(wp, (2, 0, 1, 3)).reshape(
+                    C2, kh * kw * Co2)
+            tx(("conv_out", "kernel"), tapmat)
+        else:
+            tx(("conv_out", "kernel"),
+               lambda k: pk.pack_kernel3x3(k, [k.shape[-2]]))
+        return var
+
     def _packed_forward(self, x_a, x_b, temb, context, type_idx, text_fn,
                         text_embs):
         """Fully width-packed level-0 forward (ops/packed_l0.py): level-0
@@ -785,7 +927,9 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                     h = self.up[i - 1](h)
 
         gs, gb = self.norm_out(self.nf)
-        h = pk.gn_silu_packed(h, gs, gb, _gn_groups(self.nf), [self.nf])
+        h = pk.gn_silu_packed(h, gs, gb, _gn_groups(self.nf), [self.nf],
+                              fold_mode="reshape" if self.gnfold_l0
+                              else "matmul")
         ko, bo = self.conv_out(self.nf)
         conv_fn = (pk.packed_conv3x3_tapsum if self.tapsum_out
                    else pk.packed_conv3x3)

@@ -135,7 +135,8 @@ def packed_conv3x3(xp, w, b=None, segments: Sequence[int] | None = None,
         if b is not None:
             total = total + jnp.tile(b, 2)
         return total
-    wp = pack_kernel3x3(w, segments)
+    wp = (w if w.ndim == 4 and w.shape[2] == 2 * sum(segments)
+          else pack_kernel3x3(w, segments))  # accept pre-packed kernels
     if int8:
         from .int8 import int8_conv
 
@@ -150,12 +151,10 @@ def packed_conv3x3(xp, w, b=None, segments: Sequence[int] | None = None,
     return yp
 
 
-def packed_conv1x1(xp, w, b=None, segments: Sequence[int] | None = None):
-    """1x1 conv on packed input -> packed output (block-diagonal kernel)."""
-    C2 = xp.shape[-1]
-    Ci, Co = w.shape[-2], w.shape[-1]
-    segments = list(segments) if segments is not None else [C2 // 2]
+def pack_kernel1x1(w, segments: Sequence[int]):
+    """1x1 kernel [1,1,sumC,Co] or [sumC,Co] -> block-diagonal [2*sumC,2*Co]."""
     offs, total = seg_offsets(segments)
+    Ci, Co = w.shape[-2], w.shape[-1]
     assert Ci == total
     w2 = w.reshape(Ci, Co) if w.ndim == 4 else w
     wp = jnp.zeros((2 * total, 2 * Co), w2.dtype)
@@ -164,6 +163,16 @@ def packed_conv1x1(xp, w, b=None, segments: Sequence[int] | None = None):
             row = 2 * off + parity * c
             wp = wp.at[row:row + c, parity * Co:(parity + 1) * Co].set(
                 w2[off:off + c])
+    return wp
+
+
+def packed_conv1x1(xp, w, b=None, segments: Sequence[int] | None = None):
+    """1x1 conv on packed input -> packed output (block-diagonal kernel)."""
+    C2 = xp.shape[-1]
+    segments = list(segments) if segments is not None else [C2 // 2]
+    total = sum(segments)
+    wp = (w if w.ndim == 2 and w.shape[0] == 2 * total
+          else pack_kernel1x1(w, segments))  # accept pre-packed matrices
     yp = xp @ wp
     if b is not None:
         yp = yp + jnp.tile(b, 2)
@@ -276,10 +285,13 @@ def packed_conv3x3_tapsum(xp, w, b=None, segments: Sequence[int] | None = None):
     it into ONE 1x1 matmul ``[.., 2C] @ [2C, 9*Co2]`` (90/128 lanes for the
     flagship) followed by 9 shifted slice-adds on the VPU. Exact
     (engine.tapsum_out)."""
-    wp = pack_kernel3x3(w, list(segments) if segments is not None
-                        else [xp.shape[-1] // 2])
-    kh, kw, C2, Co2 = wp.shape
-    wmat = jnp.transpose(wp, (2, 0, 1, 3)).reshape(C2, kh * kw * Co2)
+    if w.ndim == 2:  # pre-packed tap-stacked matrix [2C, 9*Co2]
+        wmat, Co2 = w, w.shape[1] // 9
+    else:
+        wp = pack_kernel3x3(w, list(segments) if segments is not None
+                            else [xp.shape[-1] // 2])
+        kh, kw, C2, Co2 = wp.shape
+        wmat = jnp.transpose(wp, (2, 0, 1, 3)).reshape(C2, kh * kw * Co2)
     z = xp @ wmat  # [B, H, Wp, 9*Co2]
     B, H, Wp, _ = z.shape
     y = None
@@ -296,6 +308,144 @@ def packed_conv3x3_tapsum(xp, w, b=None, segments: Sequence[int] | None = None):
     if b is not None:
         y = y + jnp.tile(b, 2)
     return y
+
+
+# --------------------------------------------------------------------- #
+# shift-alternating packing: conv pairs at 1.33x physical FLOPs          #
+# --------------------------------------------------------------------- #
+#
+# The dense transformed 3x3 kernel (pack_kernel3x3) is 50% sparse: 2x the
+# logical FLOPs. Exact multi-conv decompositions of it lose end to end
+# (PERF.md: pair -18%, tap4 -28% — splitting re-reads activations and breaks
+# the GN->conv producer fusion). The alternative implemented here keeps ONE
+# conv per layer but alternates the packing ALIGNMENT between layers:
+#
+#   standard packing   col j = (x[2j],   x[2j+1])   [Wp   columns]
+#   shifted  packing   col j = (x[2j-1], x[2j])     [Wp+1 columns]
+#
+# A 3x3 conv from standard input to SHIFTED output needs only input columns
+# {j-1, j} per output column — a width-2 packed kernel, 75% dense:
+# 1.33x logical FLOPs instead of 2x. The next conv maps shifted back to
+# standard, again width-2/1.33x. A ResBlock's conv1/conv2 pair therefore
+# runs entirely at 1.33x with NO relayout copies; only the two pad
+# half-columns of the shifted tensor ((0, first-half) and (Wp, second-half))
+# need masking so GroupNorm statistics and the consuming conv see exact
+# zeros (engine.shift_l0).
+
+
+def pack_kernel3x3_s2s(w, segments: Sequence[int]):
+    """[3,3,sumC,Co] -> standard-input/shifted-output kernel [3,2,2*sumC,2*Co].
+
+    Shifted output col j holds (o[2j-1], o[2j]); tap jj reads standard input
+    col j-1+jj. First output half ("lo") = odd columns o[2j-1], second
+    ("hi") = even o[2j]:
+      tap0 (std col j-1): p0->lo w0, p1->lo w1, p1->hi w0
+      tap1 (std col j  ): p0->lo w2, p0->hi w1, p1->hi w2
+    """
+    kh, kw, Ci, Co = w.shape
+    assert kh == 3 and kw == 3
+    offs, total = seg_offsets(segments)
+    assert Ci == total, (Ci, segments)
+    wp = jnp.zeros((3, 2, 2 * total, 2 * Co), w.dtype)
+    # (tap, input parity, output half) -> logical kernel column index
+    taps = {(0, 0, 0): 0, (0, 1, 0): 1, (0, 1, 1): 0,
+            (1, 0, 0): 2, (1, 0, 1): 1, (1, 1, 1): 2}
+    for (jj, pi, po), kcol in taps.items():
+        for off, c in zip(offs, segments):
+            row = 2 * off + pi * c
+            wp = wp.at[:, jj, row:row + c, po * Co:(po + 1) * Co].set(
+                w[:, kcol, off:off + c])
+    return wp
+
+
+def pack_kernel3x3_shift2std(w):
+    """[3,3,C,Co] -> shifted-input/standard-output kernel [3,2,2C,2Co].
+
+    Standard output col j = (y[2j], y[2j+1]); tap jj reads shifted col j+jj
+    (= (x[2j+2jj-1], x[2j+2jj])):
+      tap0 (shift col j  ): lo->lo w0, hi->lo w1, hi->hi w0
+      tap1 (shift col j+1): lo->lo w2, lo->hi w1, hi->hi w2
+    """
+    kh, kw, Ci, Co = w.shape
+    assert kh == 3 and kw == 3
+    wp = jnp.zeros((3, 2, 2 * Ci, 2 * Co), w.dtype)
+    taps = {(0, 0, 0): 0, (0, 1, 0): 1, (0, 1, 1): 0,
+            (1, 0, 0): 2, (1, 0, 1): 1, (1, 1, 1): 2}
+    for (jj, pi, po), kcol in taps.items():
+        wp = wp.at[:, jj, pi * Ci:(pi + 1) * Ci, po * Co:(po + 1) * Co].set(
+            w[:, kcol])
+    return wp
+
+
+def conv3x3_std_to_shift(xp, w, segments: Sequence[int] | None = None):
+    """3x3 SAME conv: standard packed [B,H,Wp,2C] -> shifted [B,H,Wp+1,2Co].
+
+    The two pad half-columns of the output — (col 0, first half) = o[-1] and
+    (col Wp, second half) = o[W] — contain garbage (partial kernel taps on
+    the zero-padded input) and MUST be masked by the consumer
+    (gn_silu_shifted does)."""
+    segments = list(segments) if segments is not None else [xp.shape[-1] // 2]
+    wp = (w if w.ndim == 4 and w.shape[1] == 2
+          else pack_kernel3x3_s2s(w, segments))
+    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(xp, wp, (1, 1), ((1, 1), (1, 1)),
+                                        dimension_numbers=dn)
+
+
+def conv3x3_shift_to_std(qp, w, b=None):
+    """3x3 SAME conv: shifted packed [B,H,Wp+1,2C] -> standard [B,H,Wp,2Co].
+
+    Requires the input's two pad half-columns to be exact zeros (they stand
+    in for the logical SAME zero-padding at x[-1] / x[W])."""
+    wp = (w if w.ndim == 4 and w.shape[1] == 2
+          else pack_kernel3x3_shift2std(w))
+    dn = jax.lax.conv_dimension_numbers(qp.shape, wp.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(qp, wp, (1, 1), ((1, 1), (0, 0)),
+                                     dimension_numbers=dn)
+    if b is not None:
+        y = y + jnp.tile(b, 2)
+    return y
+
+
+def shifted_pad_mask(wp1: int, c2: int, dtype=jnp.float32):
+    """[Wp+1, 2C] 0/1 mask zeroing the shifted tensor's two pad
+    half-columns: (col 0, first half) and (col Wp, second half)."""
+    m = jnp.ones((wp1, c2), dtype)
+    m = m.at[0, :c2 // 2].set(0)
+    m = m.at[-1, c2 // 2:].set(0)
+    return m
+
+
+def gn_silu_shifted(qp, gamma, beta, num_groups, eps=1e-5, silu=True,
+                    fold_mode="matmul"):
+    """GroupNorm(+SiLU) on a SHIFTED packed tensor [B,H,Wp+1,2C].
+
+    Masks the two pad half-columns before the statistics (so sums are exact
+    over the H*W real pixels) and again after SiLU (so the consuming
+    shift->std conv sees exact zero padding)."""
+    B, H, Wp1, C2 = qp.shape
+    C = C2 // 2
+    G = num_groups
+    Cg = C // G
+    mask = shifted_pad_mask(Wp1, C2, jnp.float32)
+    xf = qp.astype(jnp.float32) * mask[None, None]
+    psum = jnp.sum(xf, axis=(1, 2))      # [B, 2C]
+    psq = jnp.sum(xf * xf, axis=(1, 2))
+    colsum = psum[:, :C] + psum[:, C:]
+    colsq = psq[:, :C] + psq[:, C:]
+    n_el = H * (Wp1 - 1) * 2 * Cg        # real pixels per group
+    mean_c, rstd_c = _group_fold(colsum, colsq, n_el, G, eps, fold_mode)
+    scale_c = rstd_c * gamma.astype(jnp.float32)[None]
+    shift_c = beta.astype(jnp.float32)[None] - mean_c * scale_c
+    scale_p = jnp.tile(scale_c, (1, 2))
+    shift_p = jnp.tile(shift_c, (1, 2))
+    out = xf * scale_p[:, None, None, :] + shift_p[:, None, None, :]
+    if silu:
+        out = out * jax.nn.sigmoid(out)
+    out = out * mask[None, None]
+    return out.astype(qp.dtype)
 
 
 def pack_kernel_down(w):
@@ -316,7 +466,7 @@ def pack_kernel_down(w):
 def packed_down_conv(xp, w, b=None):
     """Stride-2 3x3 SAME conv consuming a packed tensor, emitting the
     unpacked half-resolution output (the level-0 -> level-1 boundary)."""
-    wp = pack_kernel_down(w)
+    wp = w if w.shape[1] == 2 else pack_kernel_down(w)
     dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(xp, wp, (2, 1), ((0, 1), (0, 1)),
@@ -349,7 +499,7 @@ def pack_kernel_up(w):
 def packed_up_conv(x, w, b=None):
     """ConvTranspose (4,4)/s2 SAME consuming unpacked half-res input,
     emitting the PACKED full-res output (level-1 -> level-0 boundary)."""
-    wp = pack_kernel_up(w)
+    wp = w if w.shape[1] == 3 else pack_kernel_up(w)
     dn = jax.lax.conv_dimension_numbers(x.shape, wp.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     # H: lhs-dilated by 2, pad (2,2) -> r = 2i + 2 - k (see pack_kernel_up)
@@ -361,12 +511,36 @@ def packed_up_conv(x, w, b=None):
     return yp
 
 
+def _group_fold(colsum, colsq, n_el, G, eps, fold_mode="matmul"):
+    """Per-channel sums [B,C] -> per-channel (mean, rstd) via the group
+    reduction. ``matmul``: one-hot [C,G] matmuls (historical default);
+    ``reshape``: contiguous [B,G,Cg] reduce + repeat (exact — groups are
+    contiguous channel runs; engine.gnfold_l0 measures the difference:
+    the tiny dot_generals are launch-overhead-bound in the device trace)."""
+    B, C = colsum.shape
+    Cg = C // G
+    if fold_mode == "reshape":
+        mean_g = colsum.reshape(B, G, Cg).sum(-1) / n_el
+        var_g = colsq.reshape(B, G, Cg).sum(-1) / n_el - mean_g**2
+        mean_c = jnp.repeat(mean_g, Cg, axis=-1)
+        rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + eps), Cg, axis=-1)
+        return mean_c, rstd_c
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (C, G), 0) // Cg
+    grp = jax.lax.broadcasted_iota(jnp.int32, (C, G), 1)
+    M = (col_g == grp).astype(jnp.float32)
+    mean_g = (colsum @ M) / n_el
+    var_g = (colsq @ M) / n_el - mean_g**2
+    mean_c = mean_g @ M.T
+    rstd_c = jax.lax.rsqrt(var_g + eps) @ M.T
+    return mean_c, rstd_c
+
+
 def gn_silu_packed(xp, gamma, beta, num_groups, segments: Sequence[int],
-                   eps=1e-5, silu=True):
+                   eps=1e-5, silu=True, fold_mode="matmul"):
     """GroupNorm(+SiLU) on a packed tensor, exact per-channel statistics.
 
     Stats: one streaming sum/sumsq over the packed lanes [B, 2*sumC], folded
-    back to logical channels; group reduction via the one-hot matmul;
+    back to logical channels; group reduction via ``_group_fold``;
     normalize with segment-parity-tiled coefficients."""
     B = xp.shape[0]
     offs, total = seg_offsets(segments)
@@ -383,14 +557,8 @@ def gn_silu_packed(xp, gamma, beta, num_groups, segments: Sequence[int],
             parts.append(v[:, base:base + c] + v[:, base + c:base + 2 * c])
         return jnp.concatenate(parts, axis=-1)  # [B, total]
     colsum, colsq = fold(psum), fold(psq)
-    col_g = jax.lax.broadcasted_iota(jnp.int32, (total, G), 0) // Cg
-    grp = jax.lax.broadcasted_iota(jnp.int32, (total, G), 1)
-    M = (col_g == grp).astype(jnp.float32)
     n_el = xp.shape[1] * xp.shape[2] * 2 * Cg
-    mean_g = (colsum @ M) / n_el
-    var_g = (colsq @ M) / n_el - mean_g**2
-    mean_c = mean_g @ M.T
-    rstd_c = jax.lax.rsqrt(var_g + eps) @ M.T
+    mean_c, rstd_c = _group_fold(colsum, colsq, n_el, G, eps, fold_mode)
     scale_c = rstd_c * gamma.astype(jnp.float32)[None]
     shift_c = beta.astype(jnp.float32)[None] - mean_c * scale_c
     scale_p = tile_channels(scale_c, segments)

@@ -383,3 +383,119 @@ def test_unet_decomp_l0_matches_standard():
             params, x_a, x_b, t, ty, text_embs=text_embs, image_context=ctx)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_shift_alternating_conv_pair_exact():
+    """conv3x3_std_to_shift -> mask -> conv3x3_shift_to_std == two plain
+    SAME convs (the shift-alternating 1.33x-FLOPs path, engine.shift_l0)."""
+    from instancediff_tpu.ops.packed_l0 import (
+        conv3x3_shift_to_std, conv3x3_std_to_shift, shifted_pad_mask)
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 12, 6))
+    w1 = jax.random.normal(jax.random.key(1), (3, 3, 6, 5)) * 0.3
+    w2 = jax.random.normal(jax.random.key(2), (3, 3, 5, 4)) * 0.3
+    b2 = jax.random.normal(jax.random.key(3), (4,)) * 0.1
+    ref = _conv(_conv(x, w1), w2) + b2
+    q = conv3x3_std_to_shift(pack_w(x), w1)
+    q = q * shifted_pad_mask(q.shape[2], q.shape[3], q.dtype)[None, None]
+    got = unpack_w(conv3x3_shift_to_std(q, w2, b2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+    # multi-segment (decoder concat) input
+    a, c = x[..., :4], x[..., 4:]
+    xp = jnp.concatenate([pack_w(a), pack_w(c)], axis=-1)
+    q = conv3x3_std_to_shift(xp, w1, segments=[4, 2])
+    q = q * shifted_pad_mask(q.shape[2], q.shape[3], q.dtype)[None, None]
+    got = unpack_w(conv3x3_shift_to_std(q, w2, b2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_gn_silu_shifted_exact():
+    """GroupNorm+SiLU on a shifted tensor (pads masked, real-pixel counts)
+    == the plain reference on the unpacked equivalent."""
+    from instancediff_tpu.ops.packed_l0 import (
+        conv3x3_std_to_shift, gn_silu_shifted)
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 12, 6))
+    w1 = jax.random.normal(jax.random.key(1), (3, 3, 6, 4)) * 0.3
+    gamma = jax.random.normal(jax.random.key(2), (4,))
+    beta = jax.random.normal(jax.random.key(3), (4,)) * 0.1
+    mid = _conv(x, w1)
+    ref = group_norm_silu_reference(mid, gamma, beta, 2)
+    q = conv3x3_std_to_shift(pack_w(x), w1)  # pads NOT pre-masked
+    got = gn_silu_shifted(q, gamma, beta, 2)
+    # reconstruct unpacked from the shifted layout: col j = (o[2j-1], o[2j])
+    Co, Wp = 4, 6
+    lo, hi = got[..., :Co], got[..., Co:]
+    rec = jnp.zeros(mid.shape, got.dtype)
+    rec = rec.at[:, :, 0::2].set(hi[:, :, 0:Wp])
+    rec = rec.at[:, :, 1::2].set(lo[:, :, 1:Wp + 1])
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # the two pad half-columns come out exactly zero (conv padding contract)
+    assert float(jnp.abs(got[:, :, 0, :Co]).max()) == 0.0
+    assert float(jnp.abs(got[:, :, -1, Co:]).max()) == 0.0
+
+
+def test_unet_shift_l0_matches_standard():
+    """Full UNet cloned with packed_l0 + shift_l0 on the SAME params
+    produces identical predictions to the plain forward."""
+    from instancediff_tpu.models.unet import LearnableForwardUNetMultiScoreMap
+
+    net = LearnableForwardUNetMultiScoreMap(
+        in_nc=2, out_nc=5, nf=8, ch_mult=(1, 2), context_dim=16,
+        score_map_chan=4, score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, token_embed_dim=16, num_res_blocks=2)
+    B, H = 2, 32
+    x_a = jax.random.normal(jax.random.key(0), (B, H, H, 1))
+    x_b = jax.random.normal(jax.random.key(1), (B, H, H, 1))
+    t = jnp.array([3, 7], jnp.int32)
+    ty = jnp.array([0, 2], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (B, 1, 16)) * 0.1
+    text_embs = [jax.random.normal(jax.random.key(3 + i), (5, 16)) * 0.1
+                 for i in range(2)]
+    params = net.init(jax.random.key(9), x_a, x_b, t, ty,
+                      text_embs=text_embs, image_context=ctx)
+    ref, ref_sms = net.apply(params, x_a, x_b, t, ty,
+                             text_embs=text_embs, image_context=ctx)
+    got, got_sms = net.clone(packed_l0=True, shift_l0=True).apply(
+        params, x_a, x_b, t, ty, text_embs=text_embs, image_context=ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    for a, b in zip(got_sms, ref_sms):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_prepack_params_matches_runtime_packing():
+    """Applying the packed UNet with prepack_params-transformed kernels
+    (the out-of-scan hoist) is bit-identical to runtime packing, for both
+    the dense and the shift-alternating paths."""
+    from instancediff_tpu.models.unet import LearnableForwardUNetMultiScoreMap
+
+    net = LearnableForwardUNetMultiScoreMap(
+        in_nc=2, out_nc=5, nf=8, ch_mult=(1, 2), context_dim=16,
+        score_map_chan=4, score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, token_embed_dim=16, num_res_blocks=2)
+    B, H = 2, 32
+    x_a = jax.random.normal(jax.random.key(0), (B, H, H, 1))
+    x_b = jax.random.normal(jax.random.key(1), (B, H, H, 1))
+    t = jnp.array([3, 7], jnp.int32)
+    ty = jnp.array([0, 2], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (B, 1, 16)) * 0.1
+    text_embs = [jax.random.normal(jax.random.key(3 + i), (5, 16)) * 0.1
+                 for i in range(2)]
+    params = net.init(jax.random.key(9), x_a, x_b, t, ty,
+                      text_embs=text_embs, image_context=ctx)
+    for kw in ({"packed_l0": True, "tapsum_out": True},
+               {"packed_l0": True, "shift_l0": True, "tapsum_out": True}):
+        pnet = net.clone(**kw)
+        ref, ref_sms = pnet.apply(params, x_a, x_b, t, ty,
+                                  text_embs=text_embs, image_context=ctx)
+        pp = pnet.prepack_params(params)
+        # the transform really happened (packed sibling leaves added)
+        assert pp["params"]["conv_in"]["kernel_packed"].shape[2] == 4  # 2*(1+1)
+        got, got_sms = pnet.apply(pp, x_a, x_b, t, ty,
+                                  text_embs=text_embs, image_context=ctx)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        for a, b in zip(got_sms, ref_sms):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
