@@ -832,6 +832,23 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         else:
             tx(("conv_out", "kernel"),
                lambda k: pk.pack_kernel3x3(k, [k.shape[-2]]))
+        if self.dtype != jnp.float32:
+            # pre-cast conv/dense weights to the compute dtype: inside the
+            # scan every `.astype(bf16)` of a weight is a separate tiny copy
+            # op with fixed dispatch overhead (the r3 trace shows ~0.5
+            # ms/step of such copies). GroupNorm/LayerNorm {scale, bias}
+            # stay fp32 (their math runs in fp32 islands) — only dicts that
+            # hold a `kernel` are cast.
+            def cast(d):
+                if not isinstance(d, dict):
+                    return d
+                if "kernel" in d or "kernel_packed" in d:
+                    return {k: (v.astype(self.dtype)
+                                if k in ("kernel", "kernel_packed", "bias")
+                                and not isinstance(v, dict) else cast(v))
+                            for k, v in d.items()}
+                return {k: cast(v) for k, v in d.items()}
+            var["params"] = cast(var["params"])
         return var
 
     def _packed_forward(self, x_a, x_b, temb, context, type_idx, text_fn,
