@@ -15,3 +15,4 @@ __all__ = [
     "shard_params_fsdp",
     "replicate_tree",
 ]
+from .spatial import shard_spatial, spatial_sharding

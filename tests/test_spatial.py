@@ -1,0 +1,70 @@
+"""Spatial parallelism: image H sharded across the mesh; XLA SPMD inserts
+conv halo exchanges and GN/attention cross-shard reductions
+(instancediff_tpu/parallel/spatial.py — the domain's analogue of sequence
+parallelism, SURVEY.md SS5.7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instancediff_tpu.parallel import make_mesh, shard_spatial
+
+
+@pytest.fixture(scope="module")
+def sampler_engine():
+    from instancediff_tpu.models.drift_model import CLIPDriftEngine
+    from instancediff_tpu.sde import DriftSDE
+
+    settings = dict(in_nc=2, out_nc=5, nf=4, ch_mult=[1, 2], context_dim=8,
+                    text_module="scoremap", score_map_chan=2,
+                    if_MultiScoreMap=True, num_res_blocks=1)
+    return CLIPDriftEngine(
+        dnet_settings=settings, nnet_settings=settings,
+        score_map_ch_mult=(1, 1), score_map_ngf=4,
+        use_image_context=True, CLIP_Type="CLIP", tiny_text_encoder=True,
+        sde=DriftSDE(T=3, max_sigma=0.4), image_size=16, if_train=False,
+        seed=0,
+    )
+
+
+def _batch():
+    k = jax.random.key(0)
+    mu = jnp.clip(jax.random.normal(k, (2, 16, 16, 1)), -1, 1)
+    return {"input": mu, "type_idx": jnp.array([0, 3], jnp.int32),
+            "A_emb": jnp.zeros((2, 1, 8))}
+
+
+def test_spatial_sharded_sampling_matches_single_device(sampler_engine):
+    eng = sampler_engine
+    batch = _batch()
+    ref = np.asarray(eng.test(batch, key=jax.random.key(3)))
+
+    mesh = make_mesh(("sp",), (4,), devices=jax.devices()[:4])
+    sbatch = shard_spatial(mesh, batch)
+    out = eng.test(sbatch, key=jax.random.key(3))
+    # the sharded result IS H-sharded; gather and compare
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_spatial_composes_with_packed_shift(sampler_engine):
+    """H sharding composes with the width-packed + shift-alternating level-0
+    path (packing touches only W/C dims)."""
+    from instancediff_tpu.models.drift_model import CLIPDriftEngine
+    from instancediff_tpu.sde import DriftSDE
+
+    settings = dict(in_nc=2, out_nc=5, nf=4, ch_mult=[1, 2], context_dim=8,
+                    text_module="scoremap", score_map_chan=2,
+                    if_MultiScoreMap=True, num_res_blocks=1)
+    eng = CLIPDriftEngine(
+        dnet_settings=settings, nnet_settings=settings,
+        score_map_ch_mult=(1, 1), score_map_ngf=4,
+        use_image_context=True, CLIP_Type="CLIP", tiny_text_encoder=True,
+        sde=DriftSDE(T=3, max_sigma=0.4), image_size=16, if_train=False,
+        seed=0, engine_opts={"packed_l0": True, "shift_l0": True},
+    )
+    batch = _batch()
+    ref = np.asarray(eng.test(batch, key=jax.random.key(3)))
+    mesh = make_mesh(("sp",), (4,), devices=jax.devices()[:4])
+    out = eng.test(shard_spatial(mesh, batch), key=jax.random.key(3))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
