@@ -404,6 +404,13 @@ def create_CLIPDDPMModel(train_opt, model_opt, phase="train", **kwargs):
         tokenizer_vocab_path=model_opt.get("tokenizer_vocab_path"),
         text_encoder_pretrain_path=model_opt.get("text_encoder_pretrain_path"),
         engine_opts=model_opt.get("engine"),
+        dtype=_resolve_dtype_ddpm(model_opt.get("dtype")),
         if_train=(phase == "train"),
         **kwargs,
     )
+
+
+def _resolve_dtype_ddpm(name):
+    from .drift_model import _resolve_dtype
+
+    return _resolve_dtype(name)

@@ -876,6 +876,16 @@ class CLIPDriftEngine:
         return {"drift_net": self.state["drift"], "noise_net": self.state["noise"]}
 
 
+def _resolve_dtype(name):
+    import jax.numpy as _jnp
+
+    if name is None or name in ("float32", "fp32"):
+        return _jnp.float32
+    if name in ("bfloat16", "bf16"):
+        return _jnp.bfloat16
+    raise ValueError(f"unsupported models.<name>.dtype {name!r}")
+
+
 def create_CLIPDriftModel(train_opt, model_opt, phase="train", **kwargs):
     """Factory with the reference's signature shape (drift_noise_model.py:758-810):
     reads the ``models.DriftNoise`` option block."""
@@ -906,6 +916,10 @@ def create_CLIPDriftModel(train_opt, model_opt, phase="train", **kwargs):
         packed_train=bool(model_opt.get("packed_train")),
         degrade_on_device=bool(model_opt.get("degrade_on_device")),
         engine_opts=model_opt.get("engine"),
+        # mixed-precision training: bf16 compute / fp32 params+stats+loss
+        # (``models.<name>.dtype: bfloat16``; GN/LayerNorm fp32 islands and
+        # the fp32 loss promotion make this the standard TPU recipe)
+        dtype=_resolve_dtype(model_opt.get("dtype")),
         if_train=(phase == "train"),
         **kwargs,
     )

@@ -123,3 +123,26 @@ def test_engine_knobs_yaml_plumbing():
         create_CLIPDriftModel({}, {**model_opt, "engine": {"turbo": True}},
                               phase="val", sde=DriftSDE(T=8, max_sigma=0.4),
                               image_size=8)
+
+
+def test_engine_dtype_yaml_plumbing():
+    """``models.<name>.dtype: bfloat16`` builds a mixed-precision engine
+    (bf16 compute / fp32 params); unknown dtypes fail loudly."""
+    import jax.numpy as jnp
+    from instancediff_tpu.models.drift_model import create_CLIPDriftModel
+
+    model_opt = dict(
+        dnet_settings=TINY, nnet_settings=TINY,
+        score_map_ch_mult=[1, 1], score_map_ngf=8,
+        CLIP_Type="CLIP", tiny_text_encoder=True, dtype="bfloat16",
+    )
+    eng = create_CLIPDriftModel({"nepoch": 4}, model_opt, phase="val",
+                                sde=DriftSDE(T=8, max_sigma=0.4), image_size=8)
+    assert eng.dtype == jnp.bfloat16
+    # params stay fp32 (mixed precision: master weights in fp32)
+    leaf = jax.tree.leaves(eng.state["drift"])[0]
+    assert leaf.dtype == jnp.float32
+
+    with pytest.raises(ValueError, match="unsupported"):
+        create_CLIPDriftModel({}, {**model_opt, "dtype": "fp8"}, phase="val",
+                              sde=DriftSDE(T=8, max_sigma=0.4), image_size=8)
