@@ -47,6 +47,11 @@ def main():
     parser.add_argument("--eta", type=float, default=None,
                         help="override test.eta (ancestral noise scale; "
                              "0 = deterministic steps)")
+    parser.add_argument("--spatial", type=int, default=0,
+                        help="shard the image H dimension over this many "
+                             "devices (parallel/spatial.py; XLA SPMD inserts "
+                             "the conv halo exchanges — for images larger "
+                             "than one chip's budget)")
     parser.add_argument("--knob", action="append", default=[],
                         help="engine perf knob overrides, name=value "
                              "(e.g. --knob int8_conv=1); same keys as the "
@@ -138,6 +143,7 @@ def main():
     }
 
     for phase, loader in loaders:
+        _spatial_mesh = [None]
         for i, batch in enumerate(loader):
             if artifact_types and not any(
                     n in artifact_types for n in batch["names"]):
@@ -148,6 +154,14 @@ def main():
                 "A_emb": jnp.asarray(batch["A_emb"]),
                 "type_idx": jnp.asarray(batch["type_idx"]),
             }
+            if args.spatial > 1:
+                from instancediff_tpu.parallel import make_mesh, shard_spatial
+
+                if _spatial_mesh[0] is None:
+                    _spatial_mesh[0] = make_mesh(
+                        ("sp",), (args.spatial,),
+                        devices=jax.devices()[:args.spatial])
+                device_batch = shard_spatial(_spatial_mesh[0], device_batch)
             tic = time.time()
             pred = model.test(device_batch, jax.random.fold_in(root_key, i),
                               use_ema=use_ema,
