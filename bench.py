@@ -160,11 +160,59 @@ def main():
     print(json.dumps(record))
 
 
+def _is_transient_backend_error(e: Exception) -> bool:
+    """Transient axon-tunnel failures observed on this box: right after
+    another process frees the chip the plugin reports 'not in the list of
+    known backends'; during tunnel outages init raises (or hangs then
+    raises) UNAVAILABLE 'TPU backend setup/compile error'."""
+    msg = str(e)
+    return ("known backends" in msg or "UNAVAILABLE" in msg
+            or "Unable to initialize backend" in msg)
+
+
+def _wait_for_backend():
+    """Bound the observed failure mode where PJRT client init HANGS for
+    20+ min during axon tunnel outages: probe `jax.devices()` in a killable
+    subprocess until it answers (or give up and let main() surface the
+    error). Keeps the driver's `python bench.py` robust to transient chip
+    unavailability."""
+    import os
+    import subprocess
+    import sys
+
+    for attempt in range(5):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, capture_output=True, env=os.environ)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"TPU backend probe {attempt + 1}/5 failed; retrying in 30s",
+              file=sys.stderr)
+        time.sleep(30)
+
+
 if __name__ == "__main__":
+    import os
+    import sys
+
+    if "--tiny" not in sys.argv:
+        _wait_for_backend()
     try:
         main()
-    except RuntimeError as e:  # transient after another process frees the chip
-        if "known backends" not in str(e):
+    except Exception as e:  # transient chip/tunnel outages: clean re-exec
+        if not _is_transient_backend_error(e):
             raise
-        time.sleep(30)
-        main()
+        retry_flag = "_INSTANCEDIFF_BENCH_RETRY"
+        n = int(os.environ.get(retry_flag, "0"))
+        if n >= 5:
+            raise
+        print(f"transient TPU backend error (attempt {n + 1}/5), "
+              f"retrying in 60s: {e}", file=sys.stderr)
+        time.sleep(60)
+        os.environ[retry_flag] = str(n + 1)
+        # re-exec: a failed PJRT client init poisons the in-process backend
+        # cache, so retry from a fresh interpreter
+        os.execv(sys.executable, [sys.executable] + sys.argv)
