@@ -243,3 +243,33 @@ def test_train_then_test_roundtrip(e2e_env, monkeypatch, capsys):
     # raw LQ|pred|GT dump exists
     dump_dir = os.path.join(e2e_env["root"], "results", "speckle in OCT")
     assert any(f.endswith(".raw") for f in os.listdir(dump_dir))
+
+
+def test_testUM_spatial_matches_single_device(e2e_env, monkeypatch, capsys):
+    """`testUM --spatial N` (H sharded over an ('sp',) mesh) must drive end
+    to end and reproduce the single-device metrics: the sampler noise is
+    threefry (value-identical under any sharding) and the H-sharded graph is
+    proven bit-identical at the library level (test_spatial.py)."""
+    import trainUM
+    import testUM
+
+    monkeypatch.chdir(e2e_env["root"])
+    models_dir = os.path.join(e2e_env["root"], "experiments", "e2e_test",
+                              "models")
+    if not os.path.isdir(models_dir):  # run standalone: train first
+        monkeypatch.setattr(sys, "argv",
+                            ["trainUM.py", f"-opt={e2e_env['cfg']}"])
+        trainUM.main()
+
+    monkeypatch.setattr(sys, "argv", ["testUM.py", f"-opt={e2e_env['cfg']}"])
+    ref = testUM.main()
+    monkeypatch.setattr(
+        sys, "argv", ["testUM.py", f"-opt={e2e_env['cfg']}", "--spatial", "2"])
+    sharded = testUM.main()
+    capsys.readouterr()
+
+    rb, sb = ref["speckle in OCT"], sharded["speckle in OCT"]
+    assert sb["num"] == rb["num"] >= 1
+    for k in ("PSNR", "SSIM", "RMSE"):
+        for a, b in zip(rb[k], sb[k]):
+            assert abs(a - b) < 1e-4, (k, a, b)
