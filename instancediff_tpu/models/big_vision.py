@@ -56,16 +56,24 @@ def load_big_vision_weights(params, checkpoint_path: str,
     pos = np.asarray(w[f"{prefix}pos_embedding"])
     pos = pos.reshape(-1, pos.shape[-1])
     dst = inner["pos_embed"]
+    if pos.shape[0] not in (dst.shape[0], dst.shape[0] - 1):
+        # patch-grid mismatch (different input resolution): bicubic-resample
+        # the cls-free source grid (timm resample_abs_pos_embed semantics,
+        # reference big_vision.py:50-61 / pos_embed.py:75-96)
+        from .pos_embed import interpolate_pos_embed
+
+        pos = np.asarray(interpolate_pos_embed(
+            pos, dst.shape[0] - 1, n_prefix=0))
+        skipped.append("pos grid resampled "
+                       f"{w[f'{prefix}pos_embedding'].size // pos.shape[-1]}"
+                       f"->{dst.shape[0] - 1} tokens")
     if pos.shape[0] == dst.shape[0] - 1:
         # SigLIP has no cls token; keep this tower's learned cls position
         inner["pos_embed"] = jnp.concatenate(
             [jnp.asarray(dst[:1]), jnp.asarray(pos)], axis=0)
         skipped.append("cls pos (source has none)")
-    elif pos.shape == tuple(dst.shape):
-        inner["pos_embed"] = jnp.asarray(pos)
     else:
-        raise ValueError(f"pos_embed shape {pos.shape} vs {tuple(dst.shape)} "
-                         "— patch grid mismatch (resample upstream)")
+        inner["pos_embed"] = jnp.asarray(pos)
     if f"{prefix}cls" in w:
         inner["class_token"] = jnp.asarray(
             np.asarray(w[f"{prefix}cls"]).reshape(1, 1, -1))

@@ -38,6 +38,7 @@ class CLIPVisionTower(nn.Module):
     heads: int = 12
     embed_dim: int = 512
     act: str = "gelu"  # timm ViT uses GELU; OpenAI CLIP uses QuickGELU
+    pos_embed_type: str = "learnable"  # or 'sin_cos_2d' (model.py:41)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,7 +62,18 @@ class CLIPVisionTower(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.width)).astype(x.dtype), x],
                             axis=1)
         n_pos = gh * gw + 1
-        pos = self.param("pos_embed", nn.initializers.normal(0.02), (n_pos, self.width))
+        if self.pos_embed_type == "sin_cos_2d":
+            # fixed 2D sin-cos table (vendored model.py:41 option); stored as
+            # a param for checkpoint-layout parity but initialised to the
+            # closed form and typically frozen with the rest of the tower
+            from .pos_embed import get_2d_sincos_pos_embed
+
+            table = get_2d_sincos_pos_embed(self.width, gh, cls_token=True)
+            pos = self.param("pos_embed", lambda rng, shape: jnp.asarray(table),
+                             (n_pos, self.width))
+        else:
+            pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                             (n_pos, self.width))
         x = x + pos[None].astype(x.dtype)
 
         for i in range(self.layers):
@@ -142,7 +154,15 @@ def load_torch_clip_vision_weights(params, checkpoint_path_or_sd):
         inner["class_token"] = to_np(sd[k]).reshape(1, 1, -1)
     k = key_like("visual.trunk.pos_embed", "visual.positional_embedding")
     if k:
-        inner["pos_embed"] = to_np(sd[k]).reshape(-1, inner["pos_embed"].shape[-1])
+        pos = to_np(sd[k]).reshape(-1, inner["pos_embed"].shape[-1])
+        if pos.shape[0] != inner["pos_embed"].shape[0]:
+            # tower resolution != checkpoint resolution: keep the cls row,
+            # bicubic-resample the grid rows (reference pos_embed.py:75-96)
+            from .pos_embed import interpolate_pos_embed
+
+            pos = interpolate_pos_embed(pos, inner["pos_embed"].shape[0],
+                                        n_prefix=1)
+        inner["pos_embed"] = pos
     k = key_like("visual.head.proj.weight", "visual.proj")
     if k:
         w = to_np(sd[k])
