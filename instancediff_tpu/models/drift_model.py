@@ -730,7 +730,9 @@ class CLIPDriftEngine:
             return sde.reverse_ddpm(key, mu, predict, eta=eta,
                                     noise_init=noise_init,
                                     sample_steps=sample_steps,
-                                    unroll=int(getattr(self, "scan_unroll", 1)))
+                                    unroll=int(getattr(self, "scan_unroll", 1)),
+                                    hoist_noise=bool(
+                                        getattr(self, "hoist_noise", False)))
 
         return sample
 

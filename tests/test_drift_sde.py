@@ -225,3 +225,24 @@ def test_strided_sampling_oracle(steps):
 
     out = sde.reverse_ddpm(jax.random.key(12), mu, oracle, sample_steps=steps)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
+
+
+def test_hoist_noise_matches_inloop_draws():
+    """`hoist_noise=True` pre-draws all step noise outside the scan with the
+    SAME per-step keys; values equal the in-loop draws up to ~1-ulp
+    fusion-order rounding."""
+    sde = DriftSDE(T=7, max_sigma=0.4)
+    key = jax.random.key(5)
+    x0 = jax.random.uniform(key, (2, 16, 16, 1)) * 2 - 1
+    mu = x0 + 0.2 * jax.random.normal(jax.random.key(6), x0.shape)
+
+    def pred(x, t_b):
+        return mu - x0, 0.3 * x
+
+    for steps in (None, 3):
+        a = jax.jit(lambda k: sde.reverse_ddpm(
+            k, mu, pred, sample_steps=steps))(jax.random.key(9))
+        b = jax.jit(lambda k: sde.reverse_ddpm(
+            k, mu, pred, sample_steps=steps, hoist_noise=True))(
+                jax.random.key(9))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
