@@ -90,3 +90,38 @@ def test_degra_context_engine_path():
     assert np.isfinite(loss)
     out = eng.test(batch, jax.random.key(2), use_ema=False)
     assert out.shape == (2, 8, 8, 1) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_matlab_psnr_ssim_golden_vs_reference():
+    """Golden: our numpy MATLAB-convention PSNR/SSIM vs the reference's
+    executable cv2 implementation (utils/img_utils.py:182-234)."""
+    import numpy as np
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from instancediff_tpu.utils.img_utils import calculate_psnr, calculate_ssim
+
+    rng = np.random.RandomState(0)
+    a = (rng.rand(48, 48) * 255).astype(np.float64)
+    b = np.clip(a + rng.randn(48, 48) * 12, 0, 255)
+
+    # reference psnr formula
+    mse = np.mean((a - b) ** 2)
+    ref_psnr = 20 * np.log10(255.0 / np.sqrt(mse))
+    assert abs(calculate_psnr(a, b) - ref_psnr) < 1e-9
+
+    # reference ssim formula (cv2.filter2D + [5:-5] crop), re-executed
+    C1, C2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    kernel = cv2.getGaussianKernel(11, 1.5)
+    window = np.outer(kernel, kernel.transpose())
+    f = lambda x: cv2.filter2D(x, -1, window)[5:-5, 5:-5]
+    mu1, mu2 = f(a), f(b)
+    s1 = f(a**2) - mu1**2
+    s2 = f(b**2) - mu2**2
+    s12 = f(a * b) - mu1 * mu2
+    ref_ssim = (((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) /
+                ((mu1**2 + mu2**2 + C1) * (s1 + s2 + C2))).mean()
+    assert abs(calculate_ssim(a, b) - ref_ssim) < 1e-9
+    # channel forms
+    assert abs(calculate_ssim(a[..., None], b[..., None]) - ref_ssim) < 1e-9
+    assert calculate_psnr(a, a) == float("inf")
