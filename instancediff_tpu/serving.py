@@ -41,7 +41,7 @@ class Restorer:
     def from_config(cls, opt_path: str, pth_dir: Optional[str] = None,
                     iteration="latest", use_ema: bool = True,
                     batch_size: int = 8, sample_steps: Optional[int] = None,
-                    platform: Optional[str] = None):
+                    platform: Optional[str] = None, seed: int = 0):
         import jax
 
         if platform:
@@ -67,7 +67,7 @@ class Restorer:
         if pth:
             engine.load(pth, iteration, use_ema=use_ema)
         r = cls(engine, batch_size=batch_size, use_ema=use_ema,
-                sample_steps=sample_steps)
+                sample_steps=sample_steps, seed=seed)
         if opt.get("type_map_ind"):
             r.type_map = dict(opt["type_map_ind"])
         return r

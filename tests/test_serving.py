@@ -100,3 +100,86 @@ def test_restorer_from_config(tmp_path):
     imgs = np.zeros((1, 8, 8, 1), np.float32)
     out = r.restore(imgs, "Gaussian noise in MRI")
     assert out.shape == imgs.shape and np.isfinite(out).all()
+
+
+def test_restore_cli(tmp_path, capsys):
+    """tools/restore.py end-to-end: .raw + .npy inputs -> restored raw/png
+    files, with per-modality normalisation applied on the way in."""
+    import sys
+    import textwrap
+
+    sys.path.insert(0, "tools")
+    import restore as restore_cli
+
+    cfg = textwrap.dedent("""
+    name: serving_cli_cfg
+    resolution: 8
+    type_map_ind:
+      speckle in OCT: 0
+      Gaussian noise in MRI: 4
+    train:
+      which_sde: driftSDE
+      which_model: DriftNoise
+    models:
+      DriftNoise:
+        module_name: drift_noise_model
+        class_name: CLIPDriftModel
+        nnet_settings: &n
+          in_nc: 2
+          out_nc: 5
+          nf: 4
+          ch_mult: [1, 2]
+          num_res_blocks: 1
+          context_dim: 8
+          text_module: scoremap
+          score_map_chan: 2
+          if_MultiScoreMap: True
+        dnet_settings: *n
+        use_image_context: True
+        if_MultiScoreMap: True
+        score_map_ch_mult: [1, 1]
+        score_map_ngf: 4
+        CLIP_Type: CLIP
+        tiny_text_encoder: True
+    sdes:
+      driftSDE:
+        class_name: driftSDE
+        T: 4
+        max_sigma: 0.4
+        drift_schedule: sigmoid
+        noise_schedule: sigmoid
+    """)
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(cfg)
+
+    rng = np.random.default_rng(0)
+    raw_in = tmp_path / "scan0.raw"
+    rng.uniform(0, 1, (8, 8)).astype(np.float32).tofile(raw_in)
+    npy_in = tmp_path / "scan1.npy"
+    np.save(npy_in, rng.uniform(0, 1, (8, 8)).astype(np.float32))
+
+    out_dir = tmp_path / "out"
+    restore_cli.main([
+        f"-opt={cfg_path}", "--images", str(raw_in), str(npy_in),
+        "--type", "speckle in OCT", "Gaussian noise in MRI",
+        "--out", str(out_dir), "--no-ema", "--sample-steps", "2",
+    ])
+    for stem in ("scan0", "scan1"):
+        raw_out = out_dir / f"{stem}_restored.raw"
+        assert raw_out.exists()
+        rec = np.fromfile(raw_out, dtype=np.float32)
+        assert rec.shape == (64,) and np.isfinite(rec).all()
+
+
+def test_restore_cli_type_count_mismatch(tmp_path):
+    import sys
+
+    sys.path.insert(0, "tools")
+    import pytest
+    import restore as restore_cli
+
+    raw_in = tmp_path / "x.raw"
+    np.zeros((8, 8), np.float32).tofile(raw_in)
+    with pytest.raises(SystemExit):
+        restore_cli.main(["--images", str(raw_in), str(raw_in),
+                          "--type", "a", "b", "c", "--out", str(tmp_path)])
