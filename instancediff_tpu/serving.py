@@ -22,7 +22,7 @@ import numpy as np
 class Restorer:
     def __init__(self, engine, batch_size: int = 8, use_ema: bool = True,
                  sample_steps: Optional[int] = None, seed: int = 0,
-                 eta: Optional[float] = None):
+                 eta: Optional[float] = None, spatial: int = 0):
         import jax
 
         self.engine = engine
@@ -30,6 +30,10 @@ class Restorer:
         self.use_ema = use_ema
         self.sample_steps = sample_steps
         self.eta = eta
+        # spatial > 1: shard image H over the first `spatial` devices
+        # (parallel/spatial.py) — serving analogue of `testUM --spatial`
+        self.spatial = int(spatial or 0)
+        self._mesh = None
         self._key = jax.random.key(seed)
         self._count = 0
         self.type_map = getattr(engine, "type_map", None) or {
@@ -44,7 +48,7 @@ class Restorer:
                     iteration="latest", use_ema: bool = True,
                     batch_size: int = 8, sample_steps: Optional[int] = None,
                     platform: Optional[str] = None, seed: int = 0,
-                    eta: Optional[float] = None):
+                    eta: Optional[float] = None, spatial: int = 0):
         import jax
 
         if platform:
@@ -70,7 +74,8 @@ class Restorer:
         if pth:
             engine.load(pth, iteration, use_ema=use_ema)
         r = cls(engine, batch_size=batch_size, use_ema=use_ema,
-                sample_steps=sample_steps, seed=seed, eta=eta)
+                sample_steps=sample_steps, seed=seed, eta=eta,
+                spatial=spatial)
         if opt.get("type_map_ind"):
             r.type_map = dict(opt["type_map_ind"])
         return r
@@ -105,6 +110,14 @@ class Restorer:
                 "A_emb": jnp.asarray(np.pad(emb[chunk], ((0, pad), (0, 0), (0, 0)),
                                             mode="edge")),
             }
+            if self.spatial > 1:
+                from .parallel import make_mesh, shard_spatial
+
+                if self._mesh is None:
+                    self._mesh = make_mesh(
+                        ("sp",), (self.spatial,),
+                        devices=jax.devices()[: self.spatial])
+                batch = shard_spatial(self._mesh, batch)
             self._count += 1
             key = jax.random.fold_in(self._key, self._count)
             pred = self.engine.test(batch, key, use_ema=self.use_ema,

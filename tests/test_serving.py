@@ -198,3 +198,24 @@ def test_restore_eta_passthrough(restorer):
         imgs, "speckle in OCT")
     assert a.shape == imgs.shape and np.isfinite(a).all()
     assert not np.allclose(a, b)
+
+
+def test_restore_spatial_matches_single_device(restorer):
+    """Serving with image-H sharding (spatial=2) returns the same result as
+    the unsharded path (same keys, same compiled math; XLA SPMD inserts the
+    conv halos/GN reductions — tests/test_spatial.py proves the engine-level
+    equality, this covers the Restorer wiring)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs >=2 devices")
+    rng = np.random.default_rng(4)
+    imgs = rng.uniform(-1, 1, (2, 8, 8, 1)).astype(np.float32)
+    eng = restorer.engine
+    base = Restorer(eng, batch_size=2, use_ema=False, seed=7).restore(
+        imgs, "speckle in OCT")
+    shard = Restorer(eng, batch_size=2, use_ema=False, seed=7,
+                     spatial=2).restore(imgs, "speckle in OCT")
+    np.testing.assert_allclose(shard, base, atol=1e-5)

@@ -90,6 +90,9 @@ def main(argv=None):
                     help="strided fast sampling (< SDE T)")
     ap.add_argument("--eta", type=float, default=None,
                     help="ancestral-noise scale (1=DDPM posterior, 0=DDIM)")
+    ap.add_argument("--spatial", type=int, default=0,
+                    help="shard image H over this many devices during "
+                         "sampling (multi-chip serving)")
     ap.add_argument("--batch", type=int, default=None,
                     help="compiled batch size (default: number of images, "
                          "capped at 8)")
@@ -136,7 +139,7 @@ def main(argv=None):
         args.opt, pth_dir=args.pth_dir, iteration=iteration,
         use_ema=not args.no_ema, batch_size=args.batch or min(n, 8),
         sample_steps=args.sample_steps, platform=args.platform,
-        seed=args.seed, eta=args.eta)
+        seed=args.seed, eta=args.eta, spatial=args.spatial)
 
     restored = restorer.restore(stack, types)          # [-1,1]
     restored01 = restored / 2.0 + 0.5                  # metric space
