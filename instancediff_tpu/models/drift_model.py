@@ -41,7 +41,7 @@ from .text_encoder import build_text_encoder
 ENGINE_KNOBS = frozenset(
     {"pallas_gn", "fused_gnconv", "scan_unroll", "fuse_dual_train",
      "packed_l0", "ksplit_dec", "int8_conv", "decomp_l0", "tapsum_out",
-     "shift_l0", "flash_mid", "gnfold_l0"}
+     "shift_l0", "flash_mid", "gnfold_l0", "hoist_noise"}
 )
 
 

@@ -111,13 +111,16 @@ def test_engine_knobs_yaml_plumbing():
         dnet_settings=TINY, nnet_settings=TINY,
         score_map_ch_mult=[1, 1], score_map_ngf=8,
         CLIP_Type="CLIP", tiny_text_encoder=True,
-        engine={"scan_unroll": 2, "fuse_dual_train": False, "packed_l0": False},
+        engine={"scan_unroll": 2, "fuse_dual_train": False, "packed_l0": False,
+                "hoist_noise": True},
     )
     eng = create_CLIPDriftModel({"nepoch": 4}, model_opt, phase="val",
                                 sde=DriftSDE(T=8, max_sigma=0.4), image_size=8)
     assert eng.scan_unroll == 2
     assert eng.fuse_dual_train is False
     assert eng.packed_l0 is False
+    assert eng.hoist_noise is True  # every knob the schema comment names
+    # must be accepted (config.yml:104 advertises hoist_noise)
 
     with pytest.raises(KeyError, match="unknown engine knob"):
         create_CLIPDriftModel({}, {**model_opt, "engine": {"turbo": True}},
