@@ -32,7 +32,14 @@ from ..ops.attention import multi_head_attention
 
 class ScaledDecoderLayer(nn.Module):
     """Cross-attention decoder layer with learned branch scales gamma init 0.1
-    (TransformerDecoderLayer_scaled, _modified_BiomedCLIP.py:580-589)."""
+    (after TransformerDecoderLayer_scaled, _modified_BiomedCLIP.py:580-589).
+
+    Reconstruction note: this is the SMM's building block — upstream ships no
+    SMM source, so this layer keeps only the branches the score-map decoder
+    needs (cross-attn + MLP; a self-attn branch over the <=5 prompt queries
+    adds nothing at K this small). The reference-EXACT three-branch layer
+    (self-attn gamma_sa included, torch-golden-tested) is
+    ``vision_towers.RefDecoderLayer`` / ``ContextDecoderRef``."""
 
     dim: int
     heads: int = 4

@@ -230,3 +230,154 @@ class ContextDecoderHierarchical(nn.Module):
             q = ScaledDecoderLayer(self.dim, self.heads, dtype=self.dtype,
                                    name=f"layer_{i}")(q, memory)
         return q
+
+
+class RefAttention(nn.Module):
+    """The reference's standalone ``Attention`` module
+    (_modified_BiomedCLIP.py:448-479): separate bias-free q/k/v projections
+    (``qkv_bias=False`` default) + biased output projection."""
+
+    dim: int
+    heads: int = 4
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        qq = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                      name="q_proj")(q)
+        kk = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                      name="k_proj")(k)
+        vv = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                      name="v_proj")(v)
+        out = multi_head_attention(qq, kk, vv, self.heads)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class RefDecoderLayer(nn.Module):
+    """Reference-exact decoder layer: ``TransformerDecoderLayer``
+    (:520-549) and, with ``scaled=True``, ``TransformerDecoderLayer_scaled``
+    (:552-590 — per-branch learned gammas init 0.1):
+
+        x += [g_sa *] self_attn(norm1(x) as q,k,v)
+        x += [g_ca *] cross_attn(norm2(x), mem, mem)   # mem NOT re-normed
+        x += [g_mlp *] mlp(norm3(x))
+
+    (ScoreMapModule keeps the leaner cross-attn-only ``ScaledDecoderLayer``
+    reconstruction for the missing upstream SMM; this class exists for exact
+    behavioural parity with the surviving reference source, golden-tested
+    against it in tests/test_context_decoder_golden.py.)"""
+
+    dim: int
+    heads: int = 4
+    scaled: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mem):
+        def gamma(name):
+            if not self.scaled:
+                return 1.0
+            return self.param(name, nn.initializers.constant(0.1),
+                              (1, 1, self.dim)).astype(x.dtype)
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        x = x + gamma("gamma_sa") * RefAttention(
+            self.dim, self.heads, dtype=self.dtype, name="self_attn")(h, h, h)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        x = x + gamma("gamma_ca") * RefAttention(
+            self.dim, self.heads, dtype=self.dtype, name="cross_attn")(
+                q, mem, mem)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
+        h = nn.Dense(self.dim * 4, dtype=self.dtype, name="fc")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="proj")(h)
+        return x + gamma("gamma_mlp") * h
+
+
+class ContextDecoderRef(nn.Module):
+    """Reference-exact ``ContextDecoder`` (:1194-1245; ``scaled=False``) and
+    the *used* forward of ``ContextDecoder_Hierachical(_Agregate)``
+    (:1246-1399; ``scaled=True`` — upstream builds 4 memory projections but
+    its shipping forward consumes scale 0 only, :1391-1399, so one
+    memory_proj is the behavioural surface):
+
+        visual -> memory_proj (LN, Linear, LN)
+        text   -> text_proj   (LN, Linear)
+        L x RefDecoderLayer(x, visual)
+        out_proj (LN, Linear)
+    """
+
+    width: int = 256
+    heads: int = 4
+    layers: int = 6
+    visual_dim: int = 512
+    text_dim: int = 512
+    out_dim: int = 512
+    scaled: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text, visual):
+        m = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="mem_ln0")(visual)
+        m = nn.Dense(self.width, dtype=self.dtype, name="mem_fc")(m)
+        m = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="mem_ln1")(m)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="text_ln")(text)
+        x = nn.Dense(self.width, dtype=self.dtype, name="text_fc")(x)
+        for i in range(self.layers):
+            x = RefDecoderLayer(self.width, self.heads, scaled=self.scaled,
+                                dtype=self.dtype, name=f"layer_{i}")(x, m)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_ln")(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="out_fc")(x)
+
+
+def load_torch_context_decoder_weights(params, state_dict, layers):
+    """Map a torch ``ContextDecoder``/``ContextDecoder_Hierachical`` state
+    dict onto ``ContextDecoderRef`` params (hierarchical dicts: scale-0
+    memory projection ``memory_proj_0``; extra scales are dead in the
+    reference forward and skipped)."""
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    mp = "memory_proj_0" if "memory_proj_0.0.weight" in sd else "memory_proj"
+    p = jax.tree_util.tree_map(np.asarray, params)
+
+    def put(dst, name, w, transpose=False):
+        dst[name] = w.T if transpose else w
+
+    put(p["mem_ln0"], "scale", sd[f"{mp}.0.weight"])
+    put(p["mem_ln0"], "bias", sd[f"{mp}.0.bias"])
+    put(p["mem_fc"], "kernel", sd[f"{mp}.1.weight"], True)
+    put(p["mem_fc"], "bias", sd[f"{mp}.1.bias"])
+    put(p["mem_ln1"], "scale", sd[f"{mp}.2.weight"])
+    put(p["mem_ln1"], "bias", sd[f"{mp}.2.bias"])
+    put(p["text_ln"], "scale", sd["text_proj.0.weight"])
+    put(p["text_ln"], "bias", sd["text_proj.0.bias"])
+    put(p["text_fc"], "kernel", sd["text_proj.1.weight"], True)
+    put(p["text_fc"], "bias", sd["text_proj.1.bias"])
+    for i in range(layers):
+        lp = p[f"layer_{i}"]
+        t = f"decoder.{i}"
+        for ln in ("norm1", "norm2", "norm3"):
+            put(lp[ln], "scale", sd[f"{t}.{ln}.weight"])
+            put(lp[ln], "bias", sd[f"{t}.{ln}.bias"])
+        for attn in ("self_attn", "cross_attn"):
+            for proj in ("q_proj", "k_proj", "v_proj"):
+                put(lp[attn][proj], "kernel", sd[f"{t}.{attn}.{proj}.weight"],
+                    True)
+                if f"{t}.{attn}.{proj}.bias" in sd:
+                    put(lp[attn][proj], "bias", sd[f"{t}.{attn}.{proj}.bias"])
+            put(lp[attn]["proj"], "kernel", sd[f"{t}.{attn}.proj.weight"], True)
+            put(lp[attn]["proj"], "bias", sd[f"{t}.{attn}.proj.bias"])
+        put(lp["fc"], "kernel", sd[f"{t}.mlp.0.weight"], True)
+        put(lp["fc"], "bias", sd[f"{t}.mlp.0.bias"])
+        put(lp["proj"], "kernel", sd[f"{t}.mlp.3.weight"], True)
+        put(lp["proj"], "bias", sd[f"{t}.mlp.3.bias"])
+        for g in ("gamma_sa", "gamma_ca", "gamma_mlp"):
+            if f"{t}.{g}" in sd:
+                put(lp, g, sd[f"{t}.{g}"])
+    put(p["out_ln"], "scale", sd["out_proj.0.weight"])
+    put(p["out_ln"], "bias", sd["out_proj.0.bias"])
+    put(p["out_fc"], "kernel", sd["out_proj.1.weight"], True)
+    put(p["out_fc"], "bias", sd["out_proj.1.bias"])
+    return p
