@@ -69,6 +69,10 @@ def main():
 
     import jax
 
+    if args.tiny:
+        # CPU-debug config: pin the platform (the axon plugin ignores the
+        # JAX_PLATFORMS env var, CLAUDE.md) so --tiny never touches the chip
+        jax.config.update("jax_platforms", "cpu")
     _setup_jax_cache()
     import jax.numpy as jnp
 
@@ -161,37 +165,18 @@ def main():
 
 
 def _is_transient_backend_error(e: Exception) -> bool:
-    """Transient axon-tunnel failures observed on this box: right after
-    another process frees the chip the plugin reports 'not in the list of
-    known backends'; during tunnel outages init raises (or hangs then
-    raises) UNAVAILABLE 'TPU backend setup/compile error'."""
-    msg = str(e)
-    return ("known backends" in msg or "UNAVAILABLE" in msg
-            or "Unable to initialize backend" in msg)
+    from instancediff_tpu.utils.backend import is_transient_backend_error
+
+    return is_transient_backend_error(e)
 
 
 def _wait_for_backend():
-    """Bound the observed failure mode where PJRT client init HANGS for
-    20+ min during axon tunnel outages: probe `jax.devices()` in a killable
-    subprocess until it answers (or give up and let main() surface the
-    error). Keeps the driver's `python bench.py` robust to transient chip
+    """Bound the tunneled-TPU init-hang failure mode (utils/backend.py);
+    keeps the driver's `python bench.py` robust to transient chip
     unavailability."""
-    import os
-    import subprocess
-    import sys
+    from instancediff_tpu.utils.backend import wait_for_backend
 
-    for attempt in range(5):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=240, capture_output=True, env=os.environ)
-            if r.returncode == 0:
-                return
-        except subprocess.TimeoutExpired:
-            pass
-        print(f"TPU backend probe {attempt + 1}/5 failed; retrying in 30s",
-              file=sys.stderr)
-        time.sleep(30)
+    wait_for_backend()
 
 
 if __name__ == "__main__":

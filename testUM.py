@@ -58,6 +58,12 @@ def main():
                              "models.*.engine YAML block")
     args = parser.parse_args()
 
+    if not args.platform:
+        # bound the tunneled-TPU init-hang failure mode (utils/backend.py)
+        from instancediff_tpu.utils.backend import wait_for_backend
+
+        wait_for_backend()
+
     import jax
 
     _setup_jax_cache()

@@ -50,6 +50,13 @@ def main():
                              "env-var rank init, trainUM.py:50-70)")
     args = parser.parse_args()
 
+    if not args.platform:
+        # tunneled-TPU boxes: bound the known init-hang failure mode before
+        # touching jax (utils/backend.py); no-op when a platform is pinned
+        from instancediff_tpu.utils.backend import wait_for_backend
+
+        wait_for_backend()
+
     import jax
 
     _setup_jax_cache()
