@@ -25,9 +25,30 @@ from ..ops.attention import multi_head_attention
 from .scoremap import ScaledDecoderLayer
 
 
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm2d in eval mode: a per-channel affine from stored running
+    statistics — the EXACT function the reference's frozen towers compute
+    (every BN consumer here is a frozen conditioning encoder; torch eval BN
+    never updates stats). Cheaper than any data-dependent norm on TPU and
+    bit-faithful to converted checkpoints."""
+
+    eps: float = 1e-5  # torch BatchNorm2d default
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        mean = self.param("mean", nn.initializers.zeros, (C,))
+        var = self.param("var", nn.initializers.ones, (C,))
+        x32 = x.astype(jnp.float32)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)
+
+
 class Bottleneck(nn.Module):
     """CLIP-ResNet bottleneck block (1x1 -> 3x3 -> avgpool-downsample -> 1x1
-    x4), reference :38-111 behaviour in NHWC."""
+    x4), reference :38-82 in NHWC with frozen (eval) BatchNorm."""
 
     planes: int
     stride: int = 1
@@ -36,21 +57,24 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         out_ch = self.planes * 4
-        h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        h = nn.relu(nn.GroupNorm(num_groups=1, dtype=jnp.float32)(h))
-        h = nn.Conv(self.planes, (3, 3), use_bias=False, dtype=self.dtype)(h)
-        h = nn.relu(nn.GroupNorm(num_groups=1, dtype=jnp.float32)(h))
+        h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        h = nn.relu(FrozenBatchNorm(name="bn1")(h))
+        h = nn.Conv(self.planes, (3, 3), use_bias=False, dtype=self.dtype,
+                    name="conv2")(h)
+        h = nn.relu(FrozenBatchNorm(name="bn2")(h))
         if self.stride > 1:  # CLIP's anti-aliased avg-pool downsample
             h = nn.avg_pool(h, (self.stride, self.stride),
                             strides=(self.stride, self.stride))
-        h = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=1, dtype=jnp.float32)(h)
+        h = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(h)
+        h = FrozenBatchNorm(name="bn3")(h)
         if self.stride > 1 or x.shape[-1] != out_ch:
             x = nn.avg_pool(x, (self.stride, self.stride),
                             strides=(self.stride, self.stride)) if self.stride > 1 else x
             x = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                         name="downsample")(x)
-            x = nn.GroupNorm(num_groups=1, dtype=jnp.float32)(x)
+            x = FrozenBatchNorm(name="downsample_bn")(x)
         return nn.relu(h + x)
 
 
@@ -94,13 +118,18 @@ class CLIPResNetWithAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         w = self.width
+        # explicit torch-style padding: SAME at stride 2 pads (0,1) while
+        # torch's padding=1 pads (1,1) and floor-drops the tail row
         h = nn.Conv(w // 2, (3, 3), strides=(2, 2), use_bias=False,
-                    dtype=self.dtype)(x)
-        h = nn.relu(nn.GroupNorm(num_groups=1, dtype=jnp.float32)(h))
-        h = nn.Conv(w // 2, (3, 3), use_bias=False, dtype=self.dtype)(h)
-        h = nn.relu(nn.GroupNorm(num_groups=1, dtype=jnp.float32)(h))
-        h = nn.Conv(w, (3, 3), use_bias=False, dtype=self.dtype)(h)
-        h = nn.relu(nn.GroupNorm(num_groups=1, dtype=jnp.float32)(h))
+                    padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(x)
+        h = nn.relu(FrozenBatchNorm(name="bn1")(h))
+        h = nn.Conv(w // 2, (3, 3), use_bias=False, dtype=self.dtype,
+                    name="conv2")(h)
+        h = nn.relu(FrozenBatchNorm(name="bn2")(h))
+        h = nn.Conv(w, (3, 3), use_bias=False, dtype=self.dtype,
+                    name="conv3")(h)
+        h = nn.relu(FrozenBatchNorm(name="bn3")(h))
         h = nn.avg_pool(h, (2, 2), strides=(2, 2))
 
         outs = []
@@ -112,7 +141,10 @@ class CLIPResNetWithAttention(nn.Module):
                                name=f"layer{si}_{bi}")(h)
             outs.append(h)
             planes *= 2
-        pooled, _ = AttentionPool2d(self.width * 8, heads=self.heads,
+        # embed_dim = final stage channels (width*8 planes x expansion 4):
+        # the reference's q/k/v projections are SQUARE at this width
+        # (:84-95 embed_dim == input C; was width*8 — a non-square deviation)
+        pooled, _ = AttentionPool2d(self.width * 32, heads=self.heads,
                                     out_dim=self.output_dim, dtype=self.dtype,
                                     name="attnpool")(h)
         return outs, pooled
@@ -380,4 +412,77 @@ def load_torch_context_decoder_weights(params, state_dict, layers):
     put(p["out_ln"], "bias", sd["out_proj.0.bias"])
     put(p["out_fc"], "kernel", sd["out_proj.1.weight"], True)
     put(p["out_fc"], "bias", sd["out_proj.1.bias"])
+    return p
+
+
+def load_torch_clip_resnet_weights(params, state_dict, prefix="visual."):
+    """Map an OpenAI-CLIP / open_clip ``ModifiedResNet`` visual state dict
+    (reference CLIPResNet(_WithAttention) :113-311 / the vendored
+    modified_resnet.py) onto ``CLIPResNetWithAttention``/``ModifiedResNet``
+    params.
+
+    BatchNorms land on :class:`FrozenBatchNorm` (weight/bias/running_mean/
+    running_var -> scale/bias/mean/var — exact eval-mode parity). The
+    attention-pool positional embedding is bilinearly resampled when the
+    checkpoint grid differs from the model's (the reference interpolates at
+    every forward, :101-108)."""
+    import numpy as np
+
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: np.asarray(v)
+          for k, v in state_dict.items()}
+    if "trunk" in params:  # ModifiedResNet wraps the trunk
+        inner = load_torch_clip_resnet_weights(params["trunk"], sd, prefix="")
+        out = dict(params)
+        out["trunk"] = inner
+        return out
+    p = jax.tree_util.tree_map(np.asarray, params)
+
+    def conv(dst, key):
+        p[dst]["kernel"] = sd[key].transpose(2, 3, 1, 0)
+
+    def bn(dst, key):
+        p[dst]["scale"] = sd[f"{key}.weight"]
+        p[dst]["bias"] = sd[f"{key}.bias"]
+        p[dst]["mean"] = sd[f"{key}.running_mean"]
+        p[dst]["var"] = sd[f"{key}.running_var"]
+
+    for i in (1, 2, 3):  # stem
+        conv(f"conv{i}", f"conv{i}.weight")
+        bn(f"bn{i}", f"bn{i}")
+    si = 0
+    while f"layer{si}_0" in p:
+        bi = 0
+        while f"layer{si}_{bi}" in p:
+            blk = p[f"layer{si}_{bi}"]
+            t = f"layer{si + 1}.{bi}"
+            for i in (1, 2, 3):
+                blk[f"conv{i}"]["kernel"] = sd[
+                    f"{t}.conv{i}.weight"].transpose(2, 3, 1, 0)
+                for fx, tk in (("scale", "weight"), ("bias", "bias"),
+                               ("mean", "running_mean"), ("var", "running_var")):
+                    blk[f"bn{i}"][fx] = sd[f"{t}.bn{i}.{tk}"]
+            if "downsample" in blk:
+                blk["downsample"]["kernel"] = sd[
+                    f"{t}.downsample.0.weight"].transpose(2, 3, 1, 0)
+                for fx, tk in (("scale", "weight"), ("bias", "bias"),
+                               ("mean", "running_mean"), ("var", "running_var")):
+                    blk["downsample_bn"][fx] = sd[f"{t}.downsample.1.{tk}"]
+            bi += 1
+        si += 1
+
+    ap = p["attnpool"]
+    pos = sd["attnpool.positional_embedding"]
+    want = ap["positional_embedding"].shape
+    if pos.shape != want:  # grid mismatch: bilinear like the reference fwd
+        side_src = int(round((pos.shape[0] - 1) ** 0.5))
+        side_dst = int(round((want[0] - 1) ** 0.5))
+        grid = pos[1:].reshape(side_src, side_src, -1)
+        grid = np.asarray(jax.image.resize(
+            jnp.asarray(grid), (side_dst, side_dst, grid.shape[-1]),
+            "bilinear"))
+        pos = np.concatenate([pos[:1], grid.reshape(side_dst * side_dst, -1)])
+    ap["positional_embedding"] = pos
+    for name in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        ap[name]["kernel"] = sd[f"attnpool.{name}.weight"].T
+        ap[name]["bias"] = sd[f"attnpool.{name}.bias"]
     return p
