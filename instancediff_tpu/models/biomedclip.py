@@ -35,13 +35,26 @@ class BiomedCLIP:
 
     def __init__(self, clip_type="BiomedCLIP", embed_dim=512, seed=0,
                  vocab_path=None, checkpoint_path=None, tiny=False,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, vision_tower="vit",
+                 rn_layers=(3, 4, 6, 3), rn_width=64):
         self.clip_type = clip_type
         self.embed_dim = embed_dim
         key = jax.random.key(seed)
         kv, kt = jax.random.split(key)
 
-        if tiny:
+        if vision_tower == "resnet":
+            # OpenAI RN-family visual (vendored modified_resnet.py); attnpool
+            # heads follow OpenAI's C // 64 rule at C = width * 32
+            from .vision_towers import ModifiedResNet
+
+            if tiny:
+                rn_layers, rn_width = (1, 1, 1, 1), 8
+            self.visual = ModifiedResNet(
+                layers=tuple(rn_layers), width=rn_width,
+                output_dim=embed_dim, heads=max(1, rn_width * 32 // 64),
+                openai_normalize=True, dtype=dtype)
+            probe_img = jnp.zeros((1, 32, 32, 1) if tiny else (1, 224, 224, 1))
+        elif tiny:
             self.visual = CLIPVisionTower(image_size=32, patch_size=8, width=32,
                                           layers=2, heads=4, embed_dim=embed_dim,
                                           dtype=dtype)

@@ -69,10 +69,32 @@ def load_openai_model(name: str, vocab_path: Optional[str] = None,
             f"Model {name} not found; available models = {list_openai_models()}")
 
     sd = _load_state_dict(model_path)
-    model = BiomedCLIP(clip_type="CLIP", embed_dim=embed_dim,
-                       vocab_path=vocab_path, tiny=tiny)
+    is_resnet = any(k.startswith("visual.layer1.") for k in sd)
+    if "text_projection" in sd:  # RN50/RN101 embed at 1024; infer, don't guess
+        embed_dim = int(sd["text_projection"].shape[1])
+    if is_resnet:
+        import numpy as np
+
+        from .vision_towers import load_torch_clip_resnet_weights
+
+        rn_width = int(np.asarray(sd["visual.conv1.weight"]).shape[0]) * 2
+        rn_layers = tuple(
+            1 + max((int(k.split(".")[2])  # visual.layer<s>.<block>....
+                     for k in sd if k.startswith(f"visual.layer{s}.")),
+                    default=0)
+            for s in (1, 2, 3, 4))
+        model = BiomedCLIP(clip_type="CLIP", embed_dim=embed_dim,
+                           vocab_path=vocab_path, tiny=tiny,
+                           vision_tower="resnet", rn_layers=rn_layers,
+                           rn_width=rn_width)
+        model.visual_params = {"params": load_torch_clip_resnet_weights(
+            model.visual_params["params"], sd)}
+    else:
+        model = BiomedCLIP(clip_type="CLIP", embed_dim=embed_dim,
+                           vocab_path=vocab_path, tiny=tiny)
+        model.visual_params = load_torch_clip_vision_weights(
+            model.visual_params, sd)
     model.text_params = load_torch_clip_text_weights(model.text_params, sd)
-    model.visual_params = load_torch_clip_vision_weights(model.visual_params, sd)
     if "logit_scale" in sd:
         model.logit_scale = float(sd["logit_scale"].detach().float().numpy())
 

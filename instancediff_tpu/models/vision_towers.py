@@ -160,10 +160,21 @@ class ModifiedResNet(nn.Module):
     width: int = 64
     output_dim: int = 512
     heads: int = 8
+    # accept [-1,1] 1|3-channel images and apply the OpenAI eval transform
+    # on device (tower contract of clip_vit.CLIPVisionTower)
+    openai_normalize: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.openai_normalize:
+            from .clip_vit import OPENAI_MEAN, OPENAI_STD
+
+            x01 = (x + 1.0) / 2.0
+            if x01.shape[-1] == 1:
+                x01 = jnp.repeat(x01, 3, axis=-1)
+            x = (x01 - jnp.asarray(OPENAI_MEAN, x01.dtype)) / jnp.asarray(
+                OPENAI_STD, x01.dtype)
         _, pooled = CLIPResNetWithAttention(
             layers=self.layers, width=self.width, output_dim=self.output_dim,
             heads=self.heads, dtype=self.dtype, name="trunk")(x)

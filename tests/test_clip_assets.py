@@ -254,3 +254,89 @@ def test_load_big_vision_weights(tmp_path):
     assert out.shape == (1, 16) and np.isfinite(np.asarray(out)).all()
     with pytest.raises(KeyError):
         load_big_vision_weights(params, path, prefix="params/txt/")
+
+
+def _tiny_openai_rn_sd(width=8, embed=512):
+    """Synthetic OpenAI RN-family checkpoint (text tower + ModifiedResNet
+    visual with one bottleneck per stage)."""
+    import torch
+
+    g = torch.Generator().manual_seed(1)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    def bn(prefix, c, sd):
+        sd[f"{prefix}.weight"] = t(c)
+        sd[f"{prefix}.bias"] = t(c)
+        sd[f"{prefix}.running_mean"] = t(c)
+        sd[f"{prefix}.running_var"] = t(c).abs() + 0.5
+
+    sd = {
+        "token_embedding.weight": t(512, 32),
+        "positional_embedding": t(77, 32),
+        "ln_final.weight": t(32), "ln_final.bias": t(32),
+        "text_projection": t(32, embed),
+        "logit_scale": torch.tensor(2.0),
+    }
+    for i in range(2):
+        R = f"transformer.resblocks.{i}."
+        sd.update({
+            R + "attn.in_proj_weight": t(96, 32),
+            R + "attn.in_proj_bias": t(96),
+            R + "attn.out_proj.weight": t(32, 32),
+            R + "attn.out_proj.bias": t(32),
+            R + "mlp.c_fc.weight": t(128, 32), R + "mlp.c_fc.bias": t(128),
+            R + "mlp.c_proj.weight": t(32, 128), R + "mlp.c_proj.bias": t(32),
+            R + "ln_1.weight": t(32), R + "ln_1.bias": t(32),
+            R + "ln_2.weight": t(32), R + "ln_2.bias": t(32),
+        })
+    w = width
+    sd["visual.conv1.weight"] = t(w // 2, 3, 3, 3)
+    bn("visual.bn1", w // 2, sd)
+    sd["visual.conv2.weight"] = t(w // 2, w // 2, 3, 3)
+    bn("visual.bn2", w // 2, sd)
+    sd["visual.conv3.weight"] = t(w, w // 2, 3, 3)
+    bn("visual.bn3", w, sd)
+    inp = w
+    for s in range(4):
+        planes = w * (2 ** s)
+        L = f"visual.layer{s + 1}.0"
+        sd[f"{L}.conv1.weight"] = t(planes, inp, 1, 1)
+        bn(f"{L}.bn1", planes, sd)
+        sd[f"{L}.conv2.weight"] = t(planes, planes, 3, 3)
+        bn(f"{L}.bn2", planes, sd)
+        sd[f"{L}.conv3.weight"] = t(planes * 4, planes, 1, 1)
+        bn(f"{L}.bn3", planes * 4, sd)
+        sd[f"{L}.downsample.0.weight"] = t(planes * 4, inp, 1, 1)
+        bn(f"{L}.downsample.1", planes * 4, sd)
+        inp = planes * 4
+    C = w * 32
+    sd["visual.attnpool.positional_embedding"] = t(2, C)  # 1x1 final grid
+    for name in ("q_proj", "k_proj", "v_proj"):
+        sd[f"visual.attnpool.{name}.weight"] = t(C, C)
+        sd[f"visual.attnpool.{name}.bias"] = t(C)
+    sd["visual.attnpool.c_proj.weight"] = t(embed, C)
+    sd["visual.attnpool.c_proj.bias"] = t(embed)
+    return sd
+
+
+def test_load_openai_resnet_checkpoint(tmp_path):
+    """RN-family checkpoints are detected and land on the ModifiedResNet
+    tower (reference openai.py loads RN50/RN101 the same way as ViTs)."""
+    import torch
+
+    from instancediff_tpu.models.openai import load_openai_model
+
+    sd = _tiny_openai_rn_sd()
+    path = tmp_path / "tiny_rn.pt"
+    torch.save(sd, str(path))
+    model, _ = load_openai_model(str(path), tiny=True)
+    emb_i = np.asarray(model.encode_image(np.zeros((1, 32, 32, 1), np.float32)))
+    assert emb_i.shape == (1, 512) and np.isfinite(emb_i).all()
+    got = np.asarray(
+        model.visual_params["params"]["trunk"]["layer0_0"]["bn1"]["mean"])
+    np.testing.assert_allclose(
+        got, sd["visual.layer1.0.bn1.running_mean"].numpy(), atol=1e-6)
+    emb_t = np.asarray(model.encode_text(["speckle in OCT"]))
+    assert emb_t.shape == (1, 512) and np.isfinite(emb_t).all()
