@@ -54,14 +54,23 @@ class BiomedCLIP:
                 output_dim=embed_dim, heads=max(1, rn_width * 32 // 64),
                 openai_normalize=True, dtype=dtype)
             probe_img = jnp.zeros((1, 32, 32, 1) if tiny else (1, 224, 224, 1))
-        elif tiny:
-            self.visual = CLIPVisionTower(image_size=32, patch_size=8, width=32,
-                                          layers=2, heads=4, embed_dim=embed_dim,
-                                          dtype=dtype)
-            probe_img = jnp.zeros((1, 32, 32, 1))
         else:
-            self.visual = CLIPVisionTower(embed_dim=embed_dim, dtype=dtype)
-            probe_img = jnp.zeros((1, 224, 224, 1))
+            # provenance-exact ViT flavour: BiomedCLIP = timm ViT (exact GELU,
+            # LN eps 1e-6, no ln_pre); CLIP = OpenAI ViT (QuickGELU, eps 1e-5,
+            # visual.ln_pre before the transformer)
+            flavour = (dict(act="quick_gelu", ln_eps=1e-5, use_ln_pre=True)
+                       if clip_type == "CLIP"
+                       else dict(act="gelu", ln_eps=1e-6, use_ln_pre=False))
+            if tiny:
+                self.visual = CLIPVisionTower(image_size=32, patch_size=8,
+                                              width=32, layers=2, heads=4,
+                                              embed_dim=embed_dim, dtype=dtype,
+                                              **flavour)
+                probe_img = jnp.zeros((1, 32, 32, 1))
+            else:
+                self.visual = CLIPVisionTower(embed_dim=embed_dim, dtype=dtype,
+                                              **flavour)
+                probe_img = jnp.zeros((1, 224, 224, 1))
         self.visual_params = jax.jit(lambda k: self.visual.init(k, probe_img))(kv)
 
         if clip_type == "BiomedCLIP":

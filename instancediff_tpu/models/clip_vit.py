@@ -39,6 +39,11 @@ class CLIPVisionTower(nn.Module):
     embed_dim: int = 512
     act: str = "gelu"  # timm ViT uses GELU; OpenAI CLIP uses QuickGELU
     pos_embed_type: str = "learnable"  # or 'sin_cos_2d' (model.py:41)
+    # timm ViT LayerNorms use eps 1e-6; OpenAI visual towers use 1e-5
+    ln_eps: float = 1e-6
+    # OpenAI CLIP ViTs normalise token embeddings BEFORE the transformer
+    # (visual.ln_pre); timm/BiomedCLIP ViTs don't
+    use_ln_pre: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,10 +81,15 @@ class CLIPVisionTower(nn.Module):
                              (n_pos, self.width))
         x = x + pos[None].astype(x.dtype)
 
+        if self.use_ln_pre:
+            x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                             name="ln_pre")(x)
         for i in range(self.layers):
             x = TransformerBlock(self.width, self.heads, act=self.act,
+                                 ln_eps=self.ln_eps,
                                  dtype=self.dtype, name=f"block_{i}")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                         name="ln_post")(x)
         pooled = x[:, 0]  # class-token pooling (timm 'token' pool)
         out = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype, name="proj")(pooled)
         return out
@@ -149,6 +159,9 @@ def load_torch_clip_vision_weights(params, checkpoint_path_or_sd):
         bk = k.replace("weight", "bias")
         if bk in sd:
             inner["patch_embed"]["bias"] = to_np(sd[bk])
+        else:  # OpenAI conv1 is bias-free; zero ours for exactness
+            inner["patch_embed"]["bias"] = jnp.zeros_like(
+                inner["patch_embed"]["bias"])
     k = key_like("visual.trunk.cls_token", "visual.class_embedding")
     if k:
         inner["class_token"] = to_np(sd[k]).reshape(1, 1, -1)
@@ -167,6 +180,35 @@ def load_torch_clip_vision_weights(params, checkpoint_path_or_sd):
     if k:
         w = to_np(sd[k])
         inner["proj"]["kernel"] = w.T if w.shape[0] == inner["proj"]["kernel"].shape[1] else w
+
+    # OpenAI visual towers: pre-transformer LayerNorm + resblocks naming
+    # (torch.jit archives: visual.ln_pre / visual.transformer.resblocks.*)
+    if "visual.ln_pre.weight" in sd and "ln_pre" in inner:
+        inner["ln_pre"]["scale"] = to_np(sd["visual.ln_pre.weight"])
+        inner["ln_pre"]["bias"] = to_np(sd["visual.ln_pre.bias"])
+    i = -1
+    while f"visual.transformer.resblocks.{i + 1}.ln_1.weight" in sd:
+        i += 1
+        R = f"visual.transformer.resblocks.{i}"
+        blk = inner[f"block_{i}"]
+        for hf, ours in ((f"{R}.ln_1", "ln_1"), (f"{R}.ln_2", "ln_2")):
+            blk[ours]["scale"] = to_np(sd[hf + ".weight"])
+            blk[ours]["bias"] = to_np(sd[hf + ".bias"])
+        w = to_np(sd[f"{R}.attn.in_proj_weight"])
+        b = to_np(sd[f"{R}.attn.in_proj_bias"])
+        for name, wpart, bpart in zip(("q_proj", "k_proj", "v_proj"),
+                                      jnp.split(w, 3, axis=0),
+                                      jnp.split(b, 3, axis=0)):
+            blk[name]["kernel"], blk[name]["bias"] = wpart.T, bpart
+        blk["out_proj"]["kernel"] = to_np(sd[f"{R}.attn.out_proj.weight"]).T
+        blk["out_proj"]["bias"] = to_np(sd[f"{R}.attn.out_proj.bias"])
+        blk["fc"]["kernel"] = to_np(sd[f"{R}.mlp.c_fc.weight"]).T
+        blk["fc"]["bias"] = to_np(sd[f"{R}.mlp.c_fc.bias"])
+        blk["proj"]["kernel"] = to_np(sd[f"{R}.mlp.c_proj.weight"]).T
+        blk["proj"]["bias"] = to_np(sd[f"{R}.mlp.c_proj.bias"])
+    if "visual.ln_post.weight" in sd:
+        inner["ln_post"]["scale"] = to_np(sd["visual.ln_post.weight"])
+        inner["ln_post"]["bias"] = to_np(sd["visual.ln_post.bias"])
 
     for i in range(12):
         for hf, ours, transpose in (

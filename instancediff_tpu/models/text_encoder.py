@@ -52,13 +52,18 @@ class TransformerBlock(nn.Module):
     heads: int
     mlp_ratio: float = 4.0
     act: str = "quick_gelu"
+    # torch nn.LayerNorm default (OpenAI CLIP); timm ViT towers pass 1e-6
+    ln_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     drop_path_rate: float = 0.0
     qkv_clamp: Optional[float] = None
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
-        act = quick_gelu if self.act == "quick_gelu" else jax.nn.gelu
+        if self.act == "quick_gelu":
+            act = quick_gelu
+        else:  # timm/HF towers use the EXACT erf GELU (torch nn.GELU default)
+            act = lambda h: jax.nn.gelu(h, approximate=False)  # noqa: E731
 
         def branch(h):
             if self.drop_path_rate > 0.0 and not deterministic:
@@ -66,16 +71,14 @@ class TransformerBlock(nn.Module):
                                  self.drop_path_rate)
             return h
 
-        # eps=1e-5: torch nn.LayerNorm default (OpenAI CLIP / timm ViT) — keeps
-        # converted checkpoints numerically exact
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="ln_1")(x)
         q = nn.Dense(self.width, dtype=self.dtype, name="q_proj")(h)
         k = nn.Dense(self.width, dtype=self.dtype, name="k_proj")(h)
         v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(h)
         attn = multi_head_attention(q, k, v, self.heads, mask=mask,
                                     qkv_clamp=self.qkv_clamp)
         x = x + branch(nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn))
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(int(self.width * self.mlp_ratio), dtype=self.dtype, name="fc")(h)
         h = act(h)
         x = x + branch(nn.Dense(self.width, dtype=self.dtype, name="proj")(h))
