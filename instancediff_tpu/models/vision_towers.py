@@ -182,16 +182,24 @@ class ModifiedResNet(nn.Module):
 
 
 class CLIPDenseVisionTransformer(nn.Module):
-    """Dense ViT tower with FPN necks (reference :593-726): patch tokens are
-    reshaped to a feature map and projected to a 4-scale pyramid
-    (upsample x4, x2, identity, downsample x2)."""
+    """Reference-exact dense ViT tower (``CLIPVisionTransformer``,
+    :593-726): OpenAI-flavour blocks (QuickGELU, ln_pre), runtime-bilinear
+    positional embedding, intermediate-block taps at ``out_indices``, and
+    the patch-size-keyed GN/deconv/maxpool FPN necks. Preserves the
+    reference quirk that the class token receives ``class_embedding``
+    twice (:644-698: once in the token cat, once folded into cls_pos).
+
+    Returns ``[fpn1..fpn4]`` feature maps (NHWC) and, with
+    ``get_embeddings=True``, appends ``[global_emb, visual_emb]``."""
 
     image_size: int = 224
     patch_size: int = 16
     width: int = 768
     layers: int = 12
     heads: int = 12
-    fpn_dim: int = 256
+    output_dim: int = 512
+    out_indices: Sequence[int] = (3, 5, 7, 11)
+    get_embeddings: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -206,27 +214,159 @@ class CLIPDenseVisionTransformer(nn.Module):
         xin = (x01 - jnp.asarray(OPENAI_MEAN, x01.dtype)) / jnp.asarray(
             OPENAI_STD, x01.dtype)
         x = nn.Conv(self.width, (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size), use_bias=False,
                     dtype=self.dtype, name="patch_embed")(xin.astype(self.dtype))
         gh, gw = x.shape[1], x.shape[2]
         tokens = x.reshape(B, gh * gw, self.width)
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (gh * gw, self.width))
-        tokens = tokens + pos[None].astype(tokens.dtype)
-        for i in range(self.layers):
-            tokens = TransformerBlock(self.width, self.heads, act="gelu",
-                                      dtype=self.dtype, name=f"block_{i}")(tokens)
-        fmap = tokens.reshape(B, gh, gw, self.width)
 
-        # FPN necks (reference :619-656): 4 scales from the final map
-        up4 = jax.image.resize(fmap, (B, gh * 4, gw * 4, self.width), "bilinear")
-        up2 = jax.image.resize(fmap, (B, gh * 2, gw * 2, self.width), "bilinear")
-        dn2 = nn.avg_pool(fmap, (2, 2), strides=(2, 2))
-        pyramid = []
-        for i, f in enumerate((up4, up2, fmap, dn2)):
-            pyramid.append(nn.Conv(self.fpn_dim, (1, 1), dtype=self.dtype,
-                                   name=f"fpn_{i}")(f))
-        return pyramid
+        cls = self.param("class_embedding",
+                         nn.initializers.normal(self.width ** -0.5),
+                         (self.width,))
+        side = self.image_size // self.patch_size
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(self.width ** -0.5),
+                         (side * side + 1, self.width))
+        # :644-646 cat [class_embedding, tokens]; :697 cls_pos adds it AGAIN
+        cls_tok = jnp.broadcast_to(cls.astype(tokens.dtype),
+                                   (B, 1, self.width))
+        spatial_pos = pos[1:].reshape(side, side, self.width)
+        if (gh, gw) != (side, side):  # runtime bilinear interp (:698-700)
+            spatial_pos = jax.image.resize(
+                spatial_pos, (gh, gw, self.width), "bilinear")
+        cls_pos = (pos[0] + cls)[None, None]
+        full_pos = jnp.concatenate(
+            [cls_pos, spatial_pos.reshape(1, gh * gw, self.width)], axis=1)
+        tokens = jnp.concatenate([cls_tok, tokens], axis=1)
+        tokens = tokens + full_pos.astype(tokens.dtype)
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                              name="ln_pre")(tokens)
+
+        taps = []
+        for i in range(self.layers):
+            tokens = TransformerBlock(self.width, self.heads,
+                                      act="quick_gelu", ln_eps=1e-5,
+                                      dtype=self.dtype,
+                                      name=f"block_{i}")(tokens)
+            if i in tuple(self.out_indices):
+                taps.append(tokens[:, 1:].reshape(B, gh, gw, self.width))
+
+        def gn(name):
+            return nn.GroupNorm(num_groups=1, epsilon=1e-5,
+                                dtype=jnp.float32, name=name)
+
+        def deconv(name):
+            return nn.ConvTranspose(self.width, (2, 2), strides=(2, 2),
+                                    dtype=self.dtype, name=name)
+
+        feats = []
+        if self.patch_size == 16:  # :619-638
+            h = deconv("fpn1_deconv1")(gn("fpn1_gn")(taps[0]))
+            h = FrozenBatchNorm(name="fpn1_bn")(h)  # SyncBN, frozen tower
+            h = jax.nn.gelu(h, approximate=False)
+            feats.append(deconv("fpn1_deconv2")(h))
+            feats.append(deconv("fpn2_deconv")(gn("fpn2_gn")(taps[1])))
+            feats.append(gn("fpn3_gn")(taps[2]))
+            feats.append(nn.max_pool(gn("fpn4_gn")(taps[3]), (2, 2),
+                                     strides=(2, 2)))
+        else:  # patch_size == 8, :640-656
+            feats.append(deconv("fpn1_deconv")(gn("fpn1_gn")(taps[0])))
+            feats.append(gn("fpn2_gn")(taps[1]))
+            feats.append(nn.max_pool(gn("fpn3_gn")(taps[2]), (2, 2),
+                                     strides=(2, 2)))
+            feats.append(nn.max_pool(gn("fpn4_gn")(taps[3]), (4, 4),
+                                     strides=(4, 4)))
+
+        if self.get_embeddings:  # :715-724
+            out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name="ln_post")(tokens)
+            proj = self.param("proj",
+                              nn.initializers.normal(self.width ** -0.5),
+                              (self.width, self.output_dim))
+            out = out @ proj.astype(out.dtype)
+            feats.append([out[:, 0], out[:, 1:].reshape(B, gh, gw, -1)])
+        return feats
+
+
+def load_torch_dense_vit_weights(params, state_dict, prefix="visual."):
+    """Map a torch ``CLIPVisionTransformer`` (reference :593-726 /
+    OpenAI-jit visual) state dict onto ``CLIPDenseVisionTransformer`` params
+    — trunk always; FPN-neck keys when present (real CLIP checkpoints don't
+    carry necks; the reference loads them misaligned-random, :658-685)."""
+    import numpy as np
+
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: np.asarray(v)
+          for k, v in state_dict.items()}
+    p = jax.tree_util.tree_map(np.asarray, params)
+
+    p["patch_embed"]["kernel"] = sd["conv1.weight"].transpose(2, 3, 1, 0)
+    p["class_embedding"] = sd["class_embedding"]
+    pos = sd["positional_embedding"]
+    if pos.shape != p["positional_embedding"].shape:  # :670-681 load interp
+        side_src = int(round((pos.shape[0] - 1) ** 0.5))
+        side_dst = int(round((p["positional_embedding"].shape[0] - 1) ** 0.5))
+        grid = np.asarray(jax.image.resize(
+            jnp.asarray(pos[1:].reshape(side_src, side_src, -1)),
+            (side_dst, side_dst, pos.shape[-1]), "bilinear"))
+        pos = np.concatenate([pos[:1], grid.reshape(side_dst * side_dst, -1)])
+    p["positional_embedding"] = pos
+    for ln in ("ln_pre", "ln_post"):
+        if f"{ln}.weight" in sd and ln in p:
+            p[ln]["scale"] = sd[f"{ln}.weight"]
+            p[ln]["bias"] = sd[f"{ln}.bias"]
+    if "proj" in sd and "proj" in p:
+        p["proj"] = sd["proj"]
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd and f"block_{i}" in p:
+        blk, R = p[f"block_{i}"], f"transformer.resblocks.{i}"
+        for ours, theirs in (("ln_1", "ln_1"), ("ln_2", "ln_2")):
+            blk[ours]["scale"] = sd[f"{R}.{theirs}.weight"]
+            blk[ours]["bias"] = sd[f"{R}.{theirs}.bias"]
+        w, b = sd[f"{R}.attn.in_proj_weight"], sd[f"{R}.attn.in_proj_bias"]
+        for name, wp, bp in zip(("q_proj", "k_proj", "v_proj"),
+                                np.split(w, 3, axis=0), np.split(b, 3, axis=0)):
+            blk[name]["kernel"], blk[name]["bias"] = wp.T, bp
+        blk["out_proj"]["kernel"] = sd[f"{R}.attn.out_proj.weight"].T
+        blk["out_proj"]["bias"] = sd[f"{R}.attn.out_proj.bias"]
+        blk["fc"]["kernel"] = sd[f"{R}.mlp.c_fc.weight"].T
+        blk["fc"]["bias"] = sd[f"{R}.mlp.c_fc.bias"]
+        blk["proj"]["kernel"] = sd[f"{R}.mlp.c_proj.weight"].T
+        blk["proj"]["bias"] = sd[f"{R}.mlp.c_proj.bias"]
+        i += 1
+
+    def neck_gn(dst, key):
+        if f"{key}.weight" in sd and dst in p:
+            p[dst]["scale"] = sd[f"{key}.weight"]
+            p[dst]["bias"] = sd[f"{key}.bias"]
+
+    def neck_deconv(dst, key):
+        if f"{key}.weight" in sd and dst in p:
+            # torch ConvTranspose2d [in, out, kh, kw] -> flax [kh, kw, in, out]
+            # + SPATIAL FLIP: torch computes the conv gradient (flipped
+            # kernel); lax.conv_transpose uses the kernel as-is
+            w = sd[f"{key}.weight"].transpose(2, 3, 0, 1)[::-1, ::-1]
+            p[dst]["kernel"] = np.ascontiguousarray(w)
+            p[dst]["bias"] = sd[f"{key}.bias"]
+
+    if "fpn1_deconv1" in p:  # patch 16 necks (torch Sequential indices)
+        neck_gn("fpn1_gn", "fpn1.0")
+        neck_deconv("fpn1_deconv1", "fpn1.1")
+        if "fpn1.2.weight" in sd:
+            p["fpn1_bn"]["scale"] = sd["fpn1.2.weight"]
+            p["fpn1_bn"]["bias"] = sd["fpn1.2.bias"]
+            p["fpn1_bn"]["mean"] = sd["fpn1.2.running_mean"]
+            p["fpn1_bn"]["var"] = sd["fpn1.2.running_var"]
+        neck_deconv("fpn1_deconv2", "fpn1.4")
+        neck_gn("fpn2_gn", "fpn2.0")
+        neck_deconv("fpn2_deconv", "fpn2.1")
+        neck_gn("fpn3_gn", "fpn3")
+        neck_gn("fpn4_gn", "fpn4.0")
+    else:  # patch 8 necks
+        neck_gn("fpn1_gn", "fpn1.0")
+        neck_deconv("fpn1_deconv", "fpn1.1")
+        neck_gn("fpn2_gn", "fpn2")
+        neck_gn("fpn3_gn", "fpn3.0")
+        neck_gn("fpn4_gn", "fpn4.0")
+    return p
 
 
 class ContextDecoder(nn.Module):

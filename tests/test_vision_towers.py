@@ -45,12 +45,15 @@ def test_clip_resnet_multi_scale():
 
 def test_dense_vit_pyramid():
     net = CLIPDenseVisionTransformer(image_size=32, patch_size=8, width=16,
-                                     layers=1, heads=2, fpn_dim=8)
+                                     layers=4, heads=2,
+                                     out_indices=(0, 1, 2, 3))
     x = jnp.ones((1, 32, 32, 1))
     p = net.init(jax.random.key(0), x)
     pyr = net.apply(p, x)
+    # patch-8 necks (reference :640-656): x2 deconv, identity, /2, /4 on the
+    # 4x4 grid at trunk width
     assert [f.shape for f in pyr] == [
-        (1, 16, 16, 8), (1, 8, 8, 8), (1, 4, 4, 8), (1, 2, 2, 8)]
+        (1, 8, 8, 16), (1, 4, 4, 16), (1, 2, 2, 16), (1, 1, 1, 16)]
 
 
 def test_context_decoders():
