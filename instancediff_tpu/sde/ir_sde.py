@@ -28,26 +28,34 @@ import numpy as np
 
 
 class IRSDE:
-    def __init__(self, max_sigma=0.4, T=100, schedule="cosine", eps=0.005):
+    def __init__(self, max_sigma=0.4, T=100, schedule="cosine", eps=0.01):
+        # schedule construction is the reference's _initialize verbatim
+        # (sde_utils.py:91-152; golden-tested table-for-table in
+        # tests/test_irsde_golden.py): T+1 theta entries, index 0 "never
+        # used"; the /255 convention and default eps=0.01 included
         self.T = int(T)
-        self.max_sigma = float(max_sigma)
+        self.max_sigma = float(max_sigma) / 255.0 if max_sigma >= 1 else float(max_sigma)
         self.schedule_name = schedule
-        t = np.arange(1, T + 1, dtype=np.float64)
         if schedule == "constant":
-            thetas = np.ones_like(t)
+            thetas = np.ones(T + 1, dtype=np.float64)
         elif schedule == "linear":
-            thetas = t / T
+            scale = 1000.0 / (T + 1)
+            thetas = np.linspace(scale * 1e-4, scale * 0.02, T + 1,
+                                 dtype=np.float64)
         elif schedule == "cosine":
-            thetas = (1.0 - np.cos(t * np.pi / T)) / 2.0
+            s, steps = 0.008, T + 2
+            x = np.linspace(0, steps, steps + 1, dtype=np.float64)
+            ac = np.cos(((x / steps) + s) / (1 + s) * np.pi * 0.5) ** 2
+            ac = ac / ac[0]
+            thetas = 1.0 - ac[1:-1]  # the reference's 1 - alphabar betas
         else:
             raise ValueError(f"unknown IR-SDE schedule '{schedule}'")
-        thetas_cum = np.cumsum(thetas)
+        thetas_cum = np.cumsum(thetas) - thetas[0]  # cumsum[0] = 0
         self.dt = float(-np.log(eps) / thetas_cum[-1])
-        # index 0 is a zero pad so integer t in [1, T] gathers its own level
-        self.thetas = jnp.asarray(np.concatenate([[0.0], thetas]), dtype=jnp.float32)
-        self.thetas_cum = jnp.asarray(np.concatenate([[0.0], thetas_cum]), dtype=jnp.float32)
+        self.thetas = jnp.asarray(thetas, dtype=jnp.float32)
+        self.thetas_cum = jnp.asarray(thetas_cum, dtype=jnp.float32)
         sigma_bars = np.sqrt(self.max_sigma**2 * (1.0 - np.exp(-2.0 * thetas_cum * self.dt)))
-        self.sigma_bars = jnp.asarray(np.concatenate([[0.0], sigma_bars]), dtype=jnp.float32)
+        self.sigma_bars = jnp.asarray(sigma_bars, dtype=jnp.float32)
         self.sigmas = jnp.sqrt(2.0 * self.max_sigma**2 * self.thetas)
 
     def mu_bar(self, x0, mu, t):

@@ -1,0 +1,89 @@
+"""Golden parity: sde/ir_sde.py vs the reference's OWN executable IRSDE
+(/root/reference/utils/sde_utils.py — torch). The file imports torchvision
+only for image dumps we never call, so it is imported with a stub module.
+
+Covers: schedule tables (thetas/sigmas/thetas_cumsum/sigma_bars/dt) for all
+three schedules, the forward marginal (mu_bar), and the reverse SDE/ODE
+drift functions on random states."""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from instancediff_tpu.sde import IRSDE  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_sde_utils():
+    if "torchvision" not in sys.modules:  # dump-only dep, not installed
+        tv = types.ModuleType("torchvision")
+        tv.utils = types.ModuleType("torchvision.utils")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tv.utils
+    spec = importlib.util.spec_from_file_location(
+        "ref_sde_utils", "/root/reference/utils/sde_utils.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("schedule", ["cosine", "linear", "constant"])
+def test_irsde_schedule_tables_match_reference(ref_sde_utils, schedule):
+    T, max_sigma, eps = 100, 0.4, 0.01
+    ref = ref_sde_utils.IRSDE(max_sigma, T=T, schedule=schedule, eps=eps,
+                              device="cpu")
+    ours = IRSDE(max_sigma=max_sigma, T=T, schedule=schedule, eps=eps)
+    assert abs(float(ref.dt) - ours.dt) < 1e-6 * abs(float(ref.dt))
+    # t = 1..T is the used index range (reference: "state t=0 never used")
+    for name, r, o in (
+        ("thetas", ref.thetas, ours.thetas),
+        ("sigmas", ref.sigmas, ours.sigmas),
+        ("thetas_cumsum", ref.thetas_cumsum, ours.thetas_cum),
+        ("sigma_bars", ref.sigma_bars, ours.sigma_bars),
+    ):
+        np.testing.assert_allclose(np.asarray(o)[1:T + 1],
+                                   r.numpy()[1:T + 1], rtol=2e-5, atol=1e-7,
+                                   err_msg=f"{schedule}:{name}")
+
+
+def test_irsde_marginal_and_reverse_drifts_match_reference(ref_sde_utils):
+    T, max_sigma, eps = 100, 0.3, 0.01
+    ref = ref_sde_utils.IRSDE(max_sigma, T=T, schedule="cosine", eps=eps,
+                              device="cpu")
+    ours = IRSDE(max_sigma=max_sigma, T=T, schedule="cosine", eps=eps)
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((2, 4, 4, 1)).astype(np.float32) * 0.3
+    mu = rng.standard_normal((2, 4, 4, 1)).astype(np.float32) * 0.3
+    x = rng.standard_normal((2, 4, 4, 1)).astype(np.float32) * 0.3
+    score = rng.standard_normal((2, 4, 4, 1)).astype(np.float32)
+
+    for t in (1, 17, 50, 100):
+        ref.set_mu(torch.from_numpy(mu))
+        want_mean = ref.mu_bar(torch.from_numpy(x0), t).numpy()
+        got_mean = np.asarray(ours.mu_bar(
+            jnp.asarray(x0), jnp.asarray(mu), jnp.full((2,), t, jnp.int32)))
+        np.testing.assert_allclose(got_mean, want_mean, rtol=2e-5, atol=1e-6)
+
+        want_rev = ref.sde_reverse_drift(
+            torch.from_numpy(x), torch.from_numpy(score), t).numpy()
+        theta = float(ours.thetas[t])
+        sigma2 = 2.0 * max_sigma ** 2 * theta
+        got_rev = (theta * (mu - x) - sigma2 * score) * ours.dt
+        np.testing.assert_allclose(got_rev, want_rev, rtol=2e-5, atol=1e-6)
+
+        want_ode = ref.ode_reverse_drift(
+            torch.from_numpy(x), torch.from_numpy(score), t).numpy()
+        got_ode = (theta * (mu - x) - 0.5 * sigma2 * score) * ours.dt
+        np.testing.assert_allclose(got_ode, want_ode, rtol=2e-5, atol=1e-6)
+
+        want_score = ref.get_score_from_noise(torch.from_numpy(score), t).numpy()
+        got_score = np.asarray(ours.score_from_noise(
+            jnp.asarray(score), jnp.full((2,), t, jnp.int32)))
+        np.testing.assert_allclose(got_score, want_score, rtol=2e-5, atol=1e-5)
