@@ -87,3 +87,24 @@ def test_irsde_marginal_and_reverse_drifts_match_reference(ref_sde_utils):
         got_score = np.asarray(ours.score_from_noise(
             jnp.asarray(score), jnp.full((2,), t, jnp.int32)))
         np.testing.assert_allclose(got_score, want_score, rtol=2e-5, atol=1e-5)
+
+
+def test_irsde_reverse_optimum_step_matches_reference(ref_sde_utils):
+    """Our sigma_bar-ratio form of the posterior step is algebraically the
+    reference's (1-C^2)/(1-B^2) form (:206-214); check numerically on
+    mu-residuals (the caller's convention here)."""
+    T, max_sigma = 100, 0.3
+    ref = ref_sde_utils.IRSDE(max_sigma, T=T, schedule="cosine", device="cpu")
+    ours = IRSDE(max_sigma=max_sigma, T=T, schedule="cosine")
+    rng = np.random.default_rng(2)
+    xt = rng.standard_normal((2, 4, 4, 1)).astype(np.float32) * 0.2
+    x0 = rng.standard_normal((2, 4, 4, 1)).astype(np.float32) * 0.2
+    ref.set_mu(0.0)
+    for t in (2, 40, 100):
+        want = ref.reverse_optimum_step(torch.from_numpy(xt),
+                                        torch.from_numpy(x0), t).numpy()
+        got = np.asarray(ours.reverse_optimum_step(
+            jnp.asarray(xt), jnp.asarray(x0), jnp.full((2,), t, jnp.int32)))
+        # the forms are equal in exact arithmetic; at small t both ratios
+        # suffer fp32 cancellation (1-B^2 ~ 1e-4), so compare absolutely
+        np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
