@@ -78,9 +78,46 @@ def apply_degradation(key, x, type_idx, sigma=25.0):
     return take[0]
 
 
+def _torch_cubic_weights(frac, a=-0.75):
+    """Cubic convolution weights for the 4 taps around a sample at fractional
+    offset ``frac`` — torch/OpenCV convention a=-0.75 (jax.image's 'cubic'
+    is the Keys a=-0.5 kernel, which is a DIFFERENT function)."""
+    def k(d):
+        ad = jnp.abs(d)
+        return jnp.where(
+            ad <= 1, ((a + 2) * ad - (a + 3)) * ad * ad + 1,
+            jnp.where(ad < 2, (((ad - 5) * ad + 8) * ad - 4) * a, 0.0))
+
+    return jnp.stack([k(frac + 1), k(frac), k(1 - frac), k(2 - frac)], -1)
+
+
+def _bicubic_axis(x, out_n, axis):
+    """torch ``F.interpolate(mode='bicubic', align_corners=False)`` along one
+    axis: src = (dst+0.5)*N/out_n - 0.5, 4 border-clamped taps, a=-0.75."""
+    n = x.shape[axis]
+    dst = jnp.arange(out_n, dtype=jnp.float32)
+    src = (dst + 0.5) * (n / out_n) - 0.5
+    i0 = jnp.floor(src)
+    frac = src - i0
+    w = _torch_cubic_weights(frac)                                # [out_n, 4]
+    idx = jnp.clip(i0[:, None].astype(jnp.int32)
+                   + jnp.arange(-1, 3)[None], 0, n - 1)           # [out_n, 4]
+    taps = jnp.take(x, idx.reshape(-1), axis=axis)
+    shp = list(x.shape)
+    shp[axis:axis + 1] = [out_n, 4]
+    taps = taps.reshape(shp)
+    wshape = [1] * taps.ndim
+    wshape[axis], wshape[axis + 1] = out_n, 4
+    return (taps * w.reshape(wshape).astype(x.dtype)).sum(axis=axis + 1)
+
+
 def upscale(x, scale=4, method="bicubic"):
-    """Bicubic SR upscale (deg_utils.py:38-40) for NHWC batches."""
+    """SR upscale (deg_utils.py:38-40) for NHWC batches — torch-exact
+    bicubic (golden vs F.interpolate, tests/test_misc_utils.py); other
+    methods delegate to jax.image.resize."""
     B, H, W, C = x.shape
+    if method == "bicubic":
+        return _bicubic_axis(_bicubic_axis(x, H * scale, 1), W * scale, 2)
     return jax.image.resize(x, (B, H * scale, W * scale, C), method=method)
 
 

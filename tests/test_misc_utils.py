@@ -125,3 +125,25 @@ def test_matlab_psnr_ssim_golden_vs_reference():
     # channel forms
     assert abs(calculate_ssim(a[..., None], b[..., None]) - ref_ssim) < 1e-9
     assert calculate_psnr(a, a) == float("inf")
+
+
+def test_upscale_golden_vs_torch_bicubic():
+    """ops.degradations.upscale reproduces the reference's
+    F.interpolate(mode='bicubic') exactly (deg_utils.py:38-40) — including
+    the a=-0.75 kernel and border clamping (jax.image's 'cubic' is the
+    a=-0.5 Keys kernel, a different function)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from instancediff_tpu.ops.degradations import upscale
+
+    rng = np.random.default_rng(3)
+    for scale, (h, w) in ((2, (8, 6)), (4, (5, 7))):
+        x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+        want = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                             scale_factor=scale, mode="bicubic").numpy()
+        got = np.asarray(upscale(jnp.asarray(x), scale=scale))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   atol=2e-5, rtol=1e-4)
