@@ -187,7 +187,8 @@ def load_torch_clip_vision_weights(params, checkpoint_path_or_sd):
         inner["ln_pre"]["scale"] = to_np(sd["visual.ln_pre.weight"])
         inner["ln_pre"]["bias"] = to_np(sd["visual.ln_pre.bias"])
     i = -1
-    while f"visual.transformer.resblocks.{i + 1}.ln_1.weight" in sd:
+    while (f"visual.transformer.resblocks.{i + 1}.ln_1.weight" in sd
+           and f"block_{i + 1}" in inner):  # ckpt may be deeper than tower
         i += 1
         R = f"visual.transformer.resblocks.{i}"
         blk = inner[f"block_{i}"]

@@ -231,8 +231,10 @@ class CLIPDenseVisionTransformer(nn.Module):
                                    (B, 1, self.width))
         spatial_pos = pos[1:].reshape(side, side, self.width)
         if (gh, gw) != (side, side):  # runtime bilinear interp (:698-700)
+            # antialias=False: torch F.interpolate has no antialias (:698)
             spatial_pos = jax.image.resize(
-                spatial_pos, (gh, gw, self.width), "bilinear")
+                spatial_pos, (gh, gw, self.width), "bilinear",
+                antialias=False)
         cls_pos = (pos[0] + cls)[None, None]
         full_pos = jnp.concatenate(
             [cls_pos, spatial_pos.reshape(1, gh * gw, self.width)], axis=1)
@@ -304,9 +306,11 @@ def load_torch_dense_vit_weights(params, state_dict, prefix="visual."):
     if pos.shape != p["positional_embedding"].shape:  # :670-681 load interp
         side_src = int(round((pos.shape[0] - 1) ** 0.5))
         side_dst = int(round((p["positional_embedding"].shape[0] - 1) ** 0.5))
+        # antialias=False matches the reference's load-time F.interpolate
         grid = np.asarray(jax.image.resize(
             jnp.asarray(pos[1:].reshape(side_src, side_src, -1)),
-            (side_dst, side_dst, pos.shape[-1]), "bilinear"))
+            (side_dst, side_dst, pos.shape[-1]), "bilinear",
+            antialias=False))
         pos = np.concatenate([pos[:1], grid.reshape(side_dst * side_dst, -1)])
     p["positional_embedding"] = pos
     for ln in ("ln_pre", "ln_post"):
@@ -628,9 +632,10 @@ def load_torch_clip_resnet_weights(params, state_dict, prefix="visual."):
         side_src = int(round((pos.shape[0] - 1) ** 0.5))
         side_dst = int(round((want[0] - 1) ** 0.5))
         grid = pos[1:].reshape(side_src, side_src, -1)
+        # antialias=False matches the reference's F.interpolate (:101-108)
         grid = np.asarray(jax.image.resize(
             jnp.asarray(grid), (side_dst, side_dst, grid.shape[-1]),
-            "bilinear"))
+            "bilinear", antialias=False))
         pos = np.concatenate([pos[:1], grid.reshape(side_dst * side_dst, -1)])
     ap["positional_embedding"] = pos
     for name in ("q_proj", "k_proj", "v_proj", "c_proj"):

@@ -30,11 +30,12 @@ def is_transient_backend_error(e: Exception) -> bool:
 
 
 def _platform_forced_off_tpu() -> bool:
-    plats = os.environ.get("JAX_PLATFORMS", "")
-    if plats != "" and "tpu" not in plats and "axon" not in plats:
-        return True
+    # Deliberately do NOT trust the JAX_PLATFORMS env var: the axon plugin
+    # ignores it (CLAUDE.md), so an env-var 'cpu' process still inits the
+    # tunnel and needs the bounded probe. Only an in-process jax whose
+    # CONFIG pins a non-TPU platform (tests, --platform users) is safe.
     jax = sys.modules.get("jax")
-    if jax is not None:  # already-imported process that pinned a platform
+    if jax is not None:
         try:
             cfg = jax.config.jax_platforms or ""
             return cfg != "" and "tpu" not in cfg and "axon" not in cfg

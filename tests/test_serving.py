@@ -219,3 +219,58 @@ def test_restore_spatial_matches_single_device(restorer):
     shard = Restorer(eng, batch_size=2, use_ema=False, seed=7,
                      spatial=2).restore(imgs, "speckle in OCT")
     np.testing.assert_allclose(shard, base, atol=1e-5)
+
+
+def test_restore_cli_png_and_unknown_type(tmp_path):
+    """PNG inputs are unit-range (no second modality clamp-division — it
+    would collapse CT/cryo-EM PNGs to ~0), and a typo'd --type is rejected
+    instead of silently conditioning on artifact index 0."""
+    import sys
+
+    import pytest
+    from PIL import Image
+
+    sys.path.insert(0, "tools")
+    import restore as restore_cli
+
+    png = tmp_path / "x.png"
+    Image.fromarray((np.ones((8, 8)) * 200).astype(np.uint8)).save(png)
+    arr, unit = restore_cli.load_image(str(png), None)
+    assert unit is True and abs(float(arr.max()) - 200 / 255) < 1e-6
+
+    raw = tmp_path / "x.raw"
+    np.full((8, 8), 100.0, np.float32).tofile(raw)
+    arr2, unit2 = restore_cli.load_image(str(raw), 8)
+    assert unit2 is False
+
+    import textwrap
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(textwrap.dedent("""
+    name: cli_badtype
+    resolution: 8
+    type_map_ind: {speckle in OCT: 0}
+    train: {which_sde: driftSDE, which_model: DriftNoise}
+    models:
+      DriftNoise:
+        module_name: drift_noise_model
+        class_name: CLIPDriftModel
+        nnet_settings: &n {in_nc: 2, out_nc: 5, nf: 4, ch_mult: [1, 2],
+                           num_res_blocks: 1, context_dim: 8,
+                           text_module: scoremap, score_map_chan: 2,
+                           if_MultiScoreMap: True}
+        dnet_settings: *n
+        use_image_context: True
+        if_MultiScoreMap: True
+        score_map_ch_mult: [1, 1]
+        score_map_ngf: 4
+        CLIP_Type: CLIP
+        tiny_text_encoder: True
+    sdes:
+      driftSDE: {class_name: driftSDE, T: 2, max_sigma: 0.4,
+                 drift_schedule: sigmoid, noise_schedule: sigmoid}
+    """))
+    with pytest.raises(SystemExit, match="unknown --type"):
+        restore_cli.main([f"-opt={cfg}", "--images", str(raw),
+                          "--type", "no such artifact", "--res", "8",
+                          "--out", str(tmp_path / "out"), "--no-ema"])

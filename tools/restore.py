@@ -41,8 +41,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_image(path: str, res: int | None) -> np.ndarray:
-    """Load one image file as [H,W,1] float32 (raw scanner range)."""
+def load_image(path: str, res: int | None):
+    """Load one image file as [H,W,1] float32.
+
+    Returns ``(array, is_unit_range)``: raw/npy files carry the modality's
+    native scanner range (per-modality clamps apply); PNG/JPG pixels are
+    mapped to [0,1] and marked unit-range so the modality clamp-division is
+    NOT applied again (it would collapse CT/cryo-EM inputs to ~0)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".raw":
         if not res:
@@ -51,19 +56,18 @@ def load_image(path: str, res: int | None) -> np.ndarray:
         if arr.size != res * res:
             raise SystemExit(
                 f"{path}: {arr.size} float32s != --res {res}^2 = {res * res}")
-        arr = arr.reshape(res, res, 1)
-    elif ext == ".npy":
+        return arr.reshape(res, res, 1), False
+    if ext == ".npy":
         arr = np.load(path).astype(np.float32)
         if arr.ndim == 2:
             arr = arr[..., None]
         if arr.ndim != 3 or arr.shape[-1] != 1:
             raise SystemExit(f"{path}: expected [H,W] or [H,W,1], got {arr.shape}")
-    else:
-        from PIL import Image
+        return arr, False
+    from PIL import Image
 
-        img = Image.open(path).convert("L")
-        arr = np.asarray(img, dtype=np.float32)[..., None] / 255.0
-    return arr
+    img = Image.open(path).convert("L")
+    return np.asarray(img, dtype=np.float32)[..., None] / 255.0, True
 
 
 def main(argv=None):
@@ -126,12 +130,18 @@ def main(argv=None):
     test_opt = opt.get("test") or {}
     iteration = args.iter or test_opt.get("iter") or "latest"
 
-    images = [load_image(p, res) for p in args.images]
-    shapes = {im.shape for im in images}
+    loaded = [load_image(p, res) for p in args.images]
+    shapes = {im.shape for im, _ in loaded}
     if len(shapes) != 1:
         raise SystemExit(f"all images must share one shape, got {shapes}")
-    if not args.pre_normalized:
-        images = [normalize_pair(im, im, t)[0] for im, t in zip(images, types)]
+    images = []
+    for (im, unit_range), t in zip(loaded, types):
+        if args.pre_normalized:
+            images.append(im)
+        elif unit_range:  # already [0,1]: just the global affine to [-1,1]
+            images.append(im * 2.0 - 1.0)
+        else:
+            images.append(normalize_pair(im, im, t)[0])
     stack = np.stack(images).astype(np.float32)
 
     n = len(images)
@@ -140,6 +150,10 @@ def main(argv=None):
         use_ema=not args.no_ema, batch_size=args.batch or min(n, 8),
         sample_steps=args.sample_steps, platform=args.platform,
         seed=args.seed, eta=args.eta, spatial=args.spatial)
+    unknown = sorted({t for t in types if t not in restorer.type_map})
+    if unknown:  # a typo would silently condition on artifact index 0
+        raise SystemExit(f"unknown --type {unknown}; valid: "
+                         f"{sorted(restorer.type_map)}")
 
     restored = restorer.restore(stack, types)          # [-1,1]
     restored01 = restored / 2.0 + 0.5                  # metric space
