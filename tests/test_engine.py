@@ -149,3 +149,37 @@ def test_engine_dtype_yaml_plumbing():
     with pytest.raises(ValueError, match="unsupported"):
         create_CLIPDriftModel({}, {**model_opt, "dtype": "fp8"}, phase="val",
                               sde=DriftSDE(T=8, max_sigma=0.4), image_size=8)
+
+
+def test_make_adam_matches_torch_adam_golden():
+    """make_adam == torch.optim.Adam(weight_decay=wd) step-for-step over 5
+    updates (coupled L2 into the moments, bias correction, eps outside the
+    sqrt — reference drift_noise_model.py:158-163 optimizer contract)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    import jax.numpy as jnp
+    from instancediff_tpu.models.drift_model import make_adam
+
+    lr, b1, b2, wd = 2e-3, 0.9, 0.99, 1e-2
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal((4, 3)).astype(np.float32)
+    grads = [rng.standard_normal((4, 3)).astype(np.float32) for _ in range(5)]
+
+    pt = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt_t = torch.optim.Adam([pt], lr=lr, betas=(b1, b2), weight_decay=wd)
+    for g in grads:
+        opt_t.zero_grad()
+        pt.grad = torch.from_numpy(g.copy())
+        opt_t.step()
+
+    opt_j = make_adam(lr, b1, b2, wd)
+    params = {"w": jnp.asarray(p0)}
+    state = opt_j.init(params)
+    for g in grads:
+        updates, state = opt_j.update({"w": jnp.asarray(g)}, state, params)
+        params = {"w": params["w"] + updates["w"]}
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               pt.detach().numpy(), atol=2e-6, rtol=1e-5)
