@@ -78,7 +78,10 @@ class CrossAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, kv):
-        act = quick_gelu if self.act == "quick_gelu" else jax.nn.gelu
+        if self.act == "quick_gelu":
+            act = quick_gelu
+        else:  # open_clip uses torch nn.GELU — the exact erf form
+            act = lambda h: jax.nn.gelu(h, approximate=False)  # noqa: E731
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         hk = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1_kv")(kv)
         q = nn.Dense(self.width, dtype=self.dtype, name="q_proj")(h)
@@ -157,13 +160,20 @@ class CoCaTextTower(nn.Module):
                          (self.context_length + 1, self.width))
         x = x + pos[None, : L + 1].astype(x.dtype)
 
-        # causal + key-pad masking; the CLS key (last) is always visible
-        # (build_cls_mask, transformer.py:663-670)
+        # causal + the reference's exact cls mask (build_cls_mask,
+        # transformer.py:663-670): the pad mask is applied ONLY to the
+        # appended-CLS query row (F.pad top-pads L all-True rows), with the
+        # key axis left-padded by one True (so key j+1 carries token j's
+        # pad bit and the final CLS key inherits token L-1's)
         causal = jnp.where(jnp.tril(jnp.ones((L + 1, L + 1), dtype=bool)),
                            0.0, NEG_INF)
-        keep = jnp.concatenate([ids != self.pad_id,
-                                jnp.ones((B, 1), dtype=bool)], axis=1)
-        mask = causal[None] + jnp.where(keep, 0.0, NEG_INF)[:, None, :]
+        keep_shift = jnp.concatenate([jnp.ones((B, 1), dtype=bool),
+                                      ids != self.pad_id], axis=1)
+        cls_row = jnp.where(keep_shift, 0.0, NEG_INF)  # [B, L+1]
+        pad_rows = jnp.concatenate(
+            [jnp.zeros((B, L, L + 1), cls_row.dtype), cls_row[:, None, :]],
+            axis=1)
+        mask = causal[None] + pad_rows
         for i in range(self.layers):
             x = TransformerBlock(self.width, self.heads, act=self.act,
                                  dtype=self.dtype, name=f"block_{i}")(
