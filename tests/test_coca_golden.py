@@ -24,8 +24,10 @@ from instancediff_tpu.models.coca import build_coca, load_torch_coca_weights  # 
 
 @pytest.fixture(scope="module")
 def vendored_coca_module():
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
+    # another golden test may have stubbed the torchvision root already
+    # (with different submodules) — augment, never skip
+    if "torchvision.transforms" not in sys.modules:
+        tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
         tr = types.ModuleType("torchvision.transforms")
         fn = types.ModuleType("torchvision.transforms.functional")
 

@@ -22,10 +22,14 @@ from instancediff_tpu.sde import IRSDE  # noqa: E402
 
 @pytest.fixture(scope="module")
 def ref_sde_utils():
-    if "torchvision" not in sys.modules:  # dump-only dep, not installed
+    # dump-only dep, not installed; another golden test may have stubbed
+    # the torchvision root already (without .utils) — augment, never skip
+    tv = sys.modules.get("torchvision")
+    if tv is None:
         tv = types.ModuleType("torchvision")
-        tv.utils = types.ModuleType("torchvision.utils")
         sys.modules["torchvision"] = tv
+    if "torchvision.utils" not in sys.modules:
+        tv.utils = types.ModuleType("torchvision.utils")
         sys.modules["torchvision.utils"] = tv.utils
     spec = importlib.util.spec_from_file_location(
         "ref_sde_utils", "/root/reference/utils/sde_utils.py")
