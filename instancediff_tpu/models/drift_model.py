@@ -41,7 +41,7 @@ from .text_encoder import build_text_encoder
 ENGINE_KNOBS = frozenset(
     {"pallas_gn", "fused_gnconv", "scan_unroll", "fuse_dual_train",
      "packed_l0", "ksplit_dec", "int8_conv", "decomp_l0", "tapsum_out",
-     "shift_l0", "flash_mid", "gnfold_l0", "hoist_noise"}
+     "shift_l0", "flash_mid", "gnfold_l0", "hoist_noise", "subpix_up"}
 )
 
 
@@ -649,6 +649,12 @@ class CLIPDriftEngine:
             # skips the materialised [B,h,N,N] softmax HBM round-trip
             # (~0.8 ms/step at 256px in the r3 profile; engine.flash_mid)
             clone_kw["flash_mid"] = True
+        if packed and getattr(self, "subpix_up", False):
+            # ConvTranspose upsampling as one dense (2,2) sub-pixel conv +
+            # phase interleave: exactly logical FLOPs and 4x output lanes
+            # vs the lhs-dilated form's 75% zero taps (exact;
+            # engine.subpix_up, ops/packed_l0.py)
+            clone_kw["subpix_up"] = True
         if packed and getattr(self, "tapsum_out", True):
             # conv_out as one tap-stacked matmul (90/128 MXU lanes vs
             # 10/128 direct — the 13 TF/s outlier in the r3 profile).

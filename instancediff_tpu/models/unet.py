@@ -499,6 +499,10 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
     # engine.decomp_l0, ops/packed_l0.py)
     tapsum_out: bool = False  # packed conv_out as one tap-stacked matmul
     # (90/128 MXU lanes vs 10/128 direct; engine.tapsum_out)
+    subpix_up: bool = False  # ConvTranspose upsampling as ONE dense (2,2)
+    # sub-pixel conv (4x output lanes, exactly logical FLOPs vs the
+    # lhs-dilated form's 4x zero taps) + phase interleave (exact;
+    # engine.subpix_up, ops/packed_l0.py)
     shift_l0: bool = False  # level-0 ResBlock conv pairs via shift-
     # alternating packing (1.33x physical FLOPs vs the dense transformed
     # kernel's 2x; engine.shift_l0, ops/packed_l0.py)
@@ -640,7 +644,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         # breaks producer fusion inside the scan body (measured both ways)
         self.up = [
             (_ConvTParams(self.nf * self.ch_mult[i], name=f"up_{i}")
-             if (self.packed_l0 and i == 0) else
+             if (self.packed_l0 and (i == 0 or self.subpix_up)) else
              nn.ConvTranspose(self.nf * self.ch_mult[i], (4, 4), strides=(2, 2),
                               dtype=self.dtype, name=f"up_{i}"))
             for i in range(n_levels - 1)
@@ -739,7 +743,14 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
             for j in range(self.num_res_blocks + 1):
                 h = self.dec_blocks[bi + j](h, temb, context)
             if i > 0:
-                h = self.up[i - 1](h)
+                up = self.up[i - 1]
+                if isinstance(up, _ConvTParams):
+                    ku, bu = up(h.shape[-1])
+                    h = pk.conv_transpose_subpix(
+                        h.astype(self.dtype), ku.astype(self.dtype),
+                        bu.astype(self.dtype))
+                else:
+                    h = up(h)
 
         if self.use_fused_gnconv:
             gs, gb = self.norm_out(self.nf)
@@ -817,7 +828,11 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         for j in range(self.num_res_blocks + 1):
             block(f"dec_0_{j}", [nf, nf, smc] if j == 0 else [nf])
         tx(("down_0", "kernel"), pk.pack_kernel_down)
-        tx(("up_0", "kernel"), pk.pack_kernel_up)
+        if self.subpix_up:
+            for i in range(len(self.ch_mult) - 1):
+                tx((f"up_{i}", "kernel"), pk.pack_kernel_up_subpix)
+        else:
+            tx(("up_0", "kernel"), pk.pack_kernel_up)
         tx(("smm_fuse_0", "kernel"),
            lambda k: pk.pack_kernel1x1(k, [k.shape[-2]]))
         tx(("smm_0", "vis_in", "kernel"),
@@ -938,8 +953,13 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                     h = self.dec_blocks[bi + j](h, temb, context)
                 if i == 1:
                     ku, bu = self.up[0](h.shape[-1])
-                    h = pk.packed_up_conv(h.astype(dt), ku.astype(dt),
-                                          bu.astype(dt))
+                    up_fn = (pk.packed_up_conv_subpix if self.subpix_up
+                             else pk.packed_up_conv)
+                    h = up_fn(h.astype(dt), ku.astype(dt), bu.astype(dt))
+                elif self.subpix_up:
+                    ku, bu = self.up[i - 1](h.shape[-1])
+                    h = pk.conv_transpose_subpix(h.astype(dt), ku.astype(dt),
+                                                 bu.astype(dt))
                 else:
                     h = self.up[i - 1](h)
 

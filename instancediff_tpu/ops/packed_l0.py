@@ -511,6 +511,83 @@ def packed_up_conv(x, w, b=None):
     return yp
 
 
+def pack_kernel_up_subpix(w):
+    """ConvTranspose (4,4)/s2 SAME kernel -> sub-pixel dense (2,2) kernel.
+
+    The lhs-dilated form executes 16 taps per output of which only 4 land on
+    real (non-dilation-zero) pixels. Splitting outputs by (H, W) parity,
+    phase (dy, dx) reads exactly a 2x2 input window with taps
+    w[2a+dy, 2b+dx] (a, b in {0,1}; from out[r] = sum_k w[k] y[r+k-2] on the
+    2x-dilated input, the surviving even offsets). Stacking the four phases
+    along output channels gives ONE dense (2,2,Ci,4Co) conv at exactly
+    logical FLOPs and 4x the output lanes; the consumer interleaves.
+    Phase channel order: p = 2*dy + dx (row-major)."""
+    kh, kw_, Ci, Co = w.shape
+    assert kh == 4 and kw_ == 4
+    wp = jnp.zeros((2, 2, Ci, 4 * Co), w.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            p = 2 * dy + dx
+            for a in (0, 1):
+                for c in (0, 1):
+                    wp = wp.at[a, c, :, p * Co:(p + 1) * Co].set(
+                        w[2 * a + dy, 2 * c + dx])
+    return wp
+
+
+def _subpix_phases(x, w):
+    """Shared sub-pixel core: VALID (2,2) conv over the (1,1)-padded input.
+
+    Returns (z, Co, H, W) with z[b, i+dy, j+dx, p*Co:(p+1)*Co] equal to
+    out[b, 2i+dy, 2j+dx] of ConvTranspose (4,4)/s2 SAME (p = 2*dy+dx)."""
+    wp = w if (w.shape[0] == 2 and w.shape[1] == 2) else pack_kernel_up_subpix(w)
+    Co = wp.shape[-1] // 4
+    B, H, W, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    z = jax.lax.conv_general_dilated(xp, wp, (1, 1), ((0, 0), (0, 0)),
+                                     dimension_numbers=dn)
+    return z, Co, H, W
+
+
+def conv_transpose_subpix(x, w, b=None):
+    """ConvTranspose (4,4)/s2 SAME via the sub-pixel dense conv.
+
+    Exact (same taps, reassociated): out[2i+dy, 2j+dx] =
+    z[i+dy, j+dx, phase(dy,dx)] interleaved back to [B,2H,2W,Co]."""
+    z, Co, H, W = _subpix_phases(x, w)
+
+    def blk(dy, dx):
+        p = 2 * dy + dx
+        return z[:, dy:H + dy, dx:W + dx, p * Co:(p + 1) * Co]
+
+    r0 = jnp.stack([blk(0, 0), blk(0, 1)], axis=3)  # [B,H,W,2,Co]
+    r1 = jnp.stack([blk(1, 0), blk(1, 1)], axis=3)
+    y = jnp.stack([r0, r1], axis=2)                 # [B,H,2,W,2,Co]
+    y = y.reshape(x.shape[0], 2 * H, 2 * W, Co)
+    return y if b is None else y + b
+
+
+def packed_up_conv_subpix(x, w, b=None):
+    """Sub-pixel ConvTranspose emitting the PACKED [B,2H,W,2Co] output
+    (level-1 -> level-0 boundary): the W-parity phases ARE the packed
+    channel halves, so only the H interleave remains."""
+    z, Co, H, W = _subpix_phases(x, w)
+
+    def row(dy):
+        p0, p1 = 2 * dy, 2 * dy + 1
+        return jnp.concatenate(
+            [z[:, dy:H + dy, 0:W, p0 * Co:(p0 + 1) * Co],
+             z[:, dy:H + dy, 1:W + 1, p1 * Co:(p1 + 1) * Co]], axis=-1)
+
+    yp = jnp.stack([row(0), row(1)], axis=2).reshape(
+        x.shape[0], 2 * H, W, 2 * Co)
+    if b is not None:
+        yp = yp + jnp.tile(b, 2)
+    return yp
+
+
 def _group_fold(colsum, colsq, n_el, G, eps, fold_mode="matmul"):
     """Per-channel sums [B,C] -> per-channel (mean, rstd) via the group
     reduction. ``matmul``: one-hot [C,G] matmuls (historical default);

@@ -7,13 +7,16 @@ import numpy as np
 import pytest
 
 from instancediff_tpu.ops.packed_l0 import (
+    conv_transpose_subpix,
     gn_silu_packed,
+    pack_kernel_up_subpix,
     pack_w,
     packed_conv1x1,
     packed_conv3x3,
     packed_conv3x3_tapsum,
     packed_down_conv,
     packed_up_conv,
+    packed_up_conv_subpix,
     tile_channels,
     unpack_w,
 )
@@ -499,3 +502,61 @@ def test_prepack_params_matches_runtime_packing():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
         for a, b in zip(got_sms, ref_sms):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_conv_transpose_subpix_exact():
+    """Sub-pixel ConvTranspose (one dense (2,2) conv + phase interleave) ==
+    lax.conv_transpose (4,4)/s2 SAME, for the unpacked and packed-output
+    variants, with bias, raw and pre-packed kernels."""
+    x = jax.random.normal(jax.random.key(0), (2, 5, 4, 6))
+    w = jax.random.normal(jax.random.key(1), (4, 4, 6, 3)) * 0.3
+    b = jax.random.normal(jax.random.key(2), (3,)) * 0.1
+    ref = jax.lax.conv_transpose(
+        x, w, (2, 2), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    for k in (w, pack_kernel_up_subpix(w)):
+        got = conv_transpose_subpix(x, k, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-6)
+        gotp = unpack_w(packed_up_conv_subpix(x, k, b))
+        np.testing.assert_allclose(np.asarray(gotp), np.asarray(ref),
+                                   atol=2e-6)
+
+
+def test_unet_subpix_up_matches_standard():
+    """Full 3-level UNet cloned with packed_l0 + shift_l0 + subpix_up (so
+    both the packed up_0 boundary and the unpacked up_1 take the sub-pixel
+    path) matches the plain forward on the SAME params."""
+    from instancediff_tpu.models.unet import LearnableForwardUNetMultiScoreMap
+
+    net = LearnableForwardUNetMultiScoreMap(
+        in_nc=2, out_nc=5, nf=8, ch_mult=(1, 2, 2), context_dim=16,
+        score_map_chan=4, score_map_ch_mult=(1, 1, 2), score_map_ngf=8,
+        use_image_context=True, token_embed_dim=16, num_res_blocks=2)
+    B, H = 2, 32
+    x_a = jax.random.normal(jax.random.key(0), (B, H, H, 1))
+    x_b = jax.random.normal(jax.random.key(1), (B, H, H, 1))
+    t = jnp.array([3, 7], jnp.int32)
+    ty = jnp.array([0, 2], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (B, 1, 16)) * 0.1
+    text_embs = [jax.random.normal(jax.random.key(3 + i), (5, 16)) * 0.1
+                 for i in range(3)]
+    params = net.init(jax.random.key(9), x_a, x_b, t, ty,
+                      text_embs=text_embs, image_context=ctx)
+    ref, ref_sms = net.apply(params, x_a, x_b, t, ty,
+                             text_embs=text_embs, image_context=ctx)
+    pnet = net.clone(packed_l0=True, shift_l0=True, subpix_up=True)
+    got, got_sms = pnet.apply(params, x_a, x_b, t, ty,
+                              text_embs=text_embs, image_context=ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    for a, b in zip(got_sms, ref_sms):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+    # prepack hoist is bit-identical and really transforms the up kernels
+    pp = pnet.prepack_params(params)
+    assert pp["params"]["up_0"]["kernel_packed"].shape[:2] == (2, 2)
+    assert pp["params"]["up_1"]["kernel_packed"].shape[:2] == (2, 2)
+    got2, _ = pnet.apply(pp, x_a, x_b, t, ty,
+                         text_embs=text_embs, image_context=ctx)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(got))
