@@ -120,8 +120,15 @@ def main():
     type_idx = jnp.arange(batch_size, dtype=jnp.int32) % 5
     a_emb = jnp.zeros((batch_size, 1, eng.context_dim))
 
+    from instancediff_tpu.models.drift_model import ENGINE_KNOBS
+
     for kv in args.knob:
         name, _, val = kv.partition("=")
+        if name not in ENGINE_KNOBS:
+            # a typo'd knob would silently benchmark the default graph and
+            # produce a confidently wrong measurement
+            raise SystemExit(f"unknown engine knob {name!r}; "
+                             f"valid: {sorted(ENGINE_KNOBS)}")
         setattr(eng, name, int(val) if val.lstrip("-").isdigit() else val)
 
     sample = jax.jit(eng.build_sample_fn())

@@ -64,8 +64,19 @@ class SpeckleMedDataset:
         if use_artifact_type:
             records = [r for r in records if r["name"] in use_artifact_type]
         self.df = records[: int(max_dataset_size)]
-        if not self.gt_only and any("A" not in r for r in self.df):
-            self.gt_only = True  # index itself is GT-only
+        if not self.gt_only and self.df and any("A" not in r for r in self.df):
+            if all("A" not in r for r in self.df):
+                self.gt_only = True  # index itself is GT-only
+            else:
+                # a mixed index means partially regenerated assets — flipping
+                # the whole split to GT-only would silently discard the real
+                # on-disk LQ files of every other record
+                missing = next(r for r in self.df if "A" not in r)
+                raise ValueError(
+                    f"dataset index mixes records with and without 'A' "
+                    f"(degraded) files (e.g. {missing.get('B', missing)}); "
+                    f"use datasets.*.gt_only for a clean-only split or fix "
+                    f"the index")
 
     def __len__(self):
         return len(self.df)

@@ -233,9 +233,9 @@ def image_transform(
     train-mode callables take an optional ``rng=np.random.Generator``.
     """
     mean = tuple(mean) if isinstance(mean, (list, tuple)) else (
-        (mean,) * 3 if mean else OPENAI_DATASET_MEAN)
+        OPENAI_DATASET_MEAN if mean is None else (mean,) * 3)
     std = tuple(std) if isinstance(std, (list, tuple)) else (
-        (std,) * 3 if std else OPENAI_DATASET_STD)
+        OPENAI_DATASET_STD if std is None else (std,) * 3)
     interpolation = interpolation or "bicubic"
     assert interpolation in ("bicubic", "bilinear", "random")
     if interpolation == "random":  # eval never uses random interpolation

@@ -459,7 +459,7 @@ def generate_beamsearch(model: CoCa, params, images, seq_len: int = 30,
         .reshape(G * Bm), (B,)).reshape(B, G, Bm)
 
     def step(carry, i):
-        out, scores, finished = carry
+        out, scores, finished, length = carry
         logits = model.apply(params, embs, out, method=CoCa.decode)
         logits = jax.lax.dynamic_index_in_dim(
             logits, i - 1, axis=1, keepdims=False).astype(jnp.float32)
@@ -480,19 +480,27 @@ def generate_beamsearch(model: CoCa, params, images, seq_len: int = 30,
                        + beam_idx).reshape(-1)
         out = out[flat_parent]
         finished = finished[flat_parent]
+        length = length[flat_parent]
         tokf = tok.reshape(-1)
         tokf = jnp.where(i == seq_len - 1,
                          jnp.where(finished, pad_id, eos_token_id), tokf)
         tokf = jnp.where(finished, pad_id, tokf)
         out = jax.lax.dynamic_update_index_in_dim(out, tokf, i, axis=1)
-        finished = finished | (tokf == eos_token_id)
-        return (out, top_v, finished), None
+        now_finished = finished | (tokf == eos_token_id)
+        # hypothesis length at first EOS = i+1 tokens (HF BeamHypotheses.add
+        # normalises by the full sequence length incl. SOT and EOS)
+        length = jnp.where(now_finished & ~finished, i + 1, length)
+        return (out, top_v, now_finished, length), None
 
-    (out, scores, _), _ = jax.lax.scan(
-        step, (out0, scores0, jnp.zeros((B * G * Bm,), bool)),
+    (out, scores, _, length), _ = jax.lax.scan(
+        step, (out0, scores0, jnp.zeros((B * G * Bm,), bool),
+               jnp.full((B * G * Bm,), seq_len, jnp.int32)),
         jnp.arange(1, seq_len))
-    # best beam over groups x beams per batch element
-    best = jnp.argmax(scores.reshape(B, G * Bm), axis=-1)
+    # best beam over groups x beams per batch element, by the HF
+    # length_penalty=1 normalised score (raw sums would systematically
+    # prefer early-EOS beams)
+    norm = scores.reshape(B, G * Bm) / length.reshape(B, G * Bm)
+    best = jnp.argmax(norm, axis=-1)
     return out.reshape(B, G * Bm, seq_len)[jnp.arange(B), best]
 
 

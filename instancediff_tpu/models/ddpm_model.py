@@ -47,6 +47,7 @@ class CLIPDDPMEngine:
         eta_min=1e-6,
         use_image_context=True,
         use_degra_context=False,
+        degrade_on_device=False,  # GT-only pipeline: degrade inside the step
         CLIP_Type="CLIP",
         artifact_prompts=ARTIFACT_PROMPTS,
         image_size=224,
@@ -68,6 +69,7 @@ class CLIPDDPMEngine:
             setattr(self, k, v)
         self.use_image_context = use_image_context
         self.use_degra_context = use_degra_context
+        self.degrade_on_device = bool(degrade_on_device)
         self.nepoch = nepoch
         self.noise_net_lr = noise_net_lr
         self.eta_min = eta_min
@@ -180,6 +182,16 @@ class CLIPDDPMEngine:
         sde = self.sde
 
         def step_fn(state, batch, key, text_params, lr):
+            if self.degrade_on_device:
+                # GT-only input pipeline: hosts stream clean targets, the LQ
+                # conditioning image is synthesised on-TPU inside the jitted
+                # step (same contract as CLIPDriftEngine.build_train_step)
+                from ..ops.degradations import apply_degradation
+
+                key, k_deg = jax.random.split(key)
+                batch = dict(batch)
+                batch["input"] = apply_degradation(
+                    k_deg, batch["target"], batch["type_idx"])
             mu, x0, ty = batch["input"], batch["target"], batch["type_idx"]
             img_ctx = batch.get("A_emb") if self.use_image_context else None
             t, x_t, eps = sde.forward_diffusion(key, x0, mu)
@@ -285,6 +297,15 @@ class CLIPDDPMEngine:
             self._sample_fn = jax.jit(
                 self.build_sample_fn(sample_steps=sample_steps, eta=eta))
         key = jax.random.key(0) if key is None else key
+        if self.degrade_on_device and "target" in batch:
+            # GT-only dataset: the LQ conditioning image does not exist on
+            # disk — synthesise it on device (same op as the train step)
+            from ..ops.degradations import apply_degradation_jit
+
+            key, k_deg = jax.random.split(key)
+            batch = dict(batch)
+            batch["input"] = apply_degradation_jit(
+                k_deg, batch["target"], batch["type_idx"])
         params = self.state["n_ema"] if use_ema else self.state["noise"]
         a_emb = batch.get("A_emb")
         if a_emb is None:
@@ -399,6 +420,7 @@ def create_CLIPDDPMModel(train_opt, model_opt, phase="train", **kwargs):
         eta_min=model_opt.get("eta_min", 1e-6),
         use_image_context=model_opt.get("use_image_context", True),
         use_degra_context=model_opt.get("use_degra_context", False),
+        degrade_on_device=bool(model_opt.get("degrade_on_device")),
         CLIP_Type=model_opt.get("CLIP_Type", "CLIP"),
         tiny_text_encoder=bool(model_opt.get("tiny_text_encoder")),
         tokenizer_vocab_path=model_opt.get("tokenizer_vocab_path"),

@@ -756,11 +756,11 @@ class CLIPDriftEngine:
         if self.degrade_on_device and "target" in batch:
             # GT-only dataset: the LQ conditioning image does not exist on
             # disk — synthesise it on device (same op as the train step)
-            from ..ops.degradations import apply_degradation
+            from ..ops.degradations import apply_degradation_jit
 
             key, k_deg = jax.random.split(key)
             batch = dict(batch)
-            batch["input"] = jax.jit(apply_degradation)(
+            batch["input"] = apply_degradation_jit(
                 k_deg, batch["target"], batch["type_idx"])
         dparams = self.state["d_ema"] if use_ema else self.state["drift"]
         nparams = self.state["n_ema"] if use_ema else self.state["noise"]

@@ -70,7 +70,7 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
                 "5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/"
                 "ViT-B-16.pt",
             filename="ViT-B-16.pt",
-            converter="clip_vit.load_torch_vit_weights"),
+            converter="clip_vit.load_torch_clip_vision_weights"),
     },
     "hf-hub:microsoft/BiomedCLIP-PubMedBERT_256-vit_base_patch16_224": {
         "biomedclip": _pcfg(
@@ -79,9 +79,11 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
             converter="text_encoder.load_torch_bert_weights"),
     },
     "ViT-B-16-SigLIP": {
+        # converter reads the official big_vision .npz release (the loader
+        # is npz-only; the hf_hub mirror's torch .bin has no consumer here)
         "webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP",
-                         filename="open_clip_pytorch_model.bin",
-                         converter="biomedclip.load_big_vision_weights"),
+                         filename="webli_en_b16_224_63724782.npz",
+                         converter="big_vision.load_big_vision_weights"),
     },
     "ViT-L-16-CL32-GAP": {
         "clipa": _apcfg(filename="vit_l16_cl32_gap.pt"),

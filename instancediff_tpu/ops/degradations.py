@@ -126,3 +126,10 @@ def mask_to(x, mask):
     (deg_utils.py:19-34 semantics; mask supplied as an array here — file IO
     belongs to the host pipeline)."""
     return mask * x + (1.0 - mask)
+
+
+# Pre-jitted host-callable wrapper: drivers that synthesise LQ outside a
+# larger jitted program (engine.test with degrade_on_device) must reuse ONE
+# jit cache — wrapping apply_degradation in a fresh jax.jit per call would
+# re-trace every batch.
+apply_degradation_jit = jax.jit(apply_degradation, static_argnames=("sigma",))

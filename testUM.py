@@ -107,6 +107,8 @@ def main():
         ds = data_pkg.create_dataset(dataset_opt)
         loaders.append((phase, data_pkg.create_dataloader(ds, dataset_opt)))
     assert loaders, "no test/val dataset entries in config"
+    any_gt_only = any(bool(getattr(ld.dataset, "gt_only", False))
+                      for _, ld in loaders)
 
     which_model = opt["train"]["which_model"] if opt.get("train") else "DriftNoise"
     model_opt = opt["models"][which_model]
@@ -118,6 +120,12 @@ def main():
         model_opt["engine"] = eng_block
     model = create_model(None, model_opt, phase="test",
                          image_size=(opt.get("resolution") or 224), seed=seed)
+    if any_gt_only and not getattr(model, "degrade_on_device", False):
+        # a GT-only dataset feeds LQ == GT placeholders; without on-device
+        # degradation every metric would score the identity restoration
+        raise ValueError(
+            "datasets.*.gt_only requires models.%s.degrade_on_device: true "
+            "(the LQ images exist only as on-device synthesis)" % which_model)
 
     # checkpoint load (reference :76, :89-92; EMA nets optional)
     use_ema = bool(test_opt.get("use_ema"))

@@ -92,6 +92,26 @@ def test_pretrained_registry_queries():
     assert cfg["resize_mode"] == "squash"  # _slpcfg family
 
 
+def test_pretrained_registry_converters_resolve():
+    """Every registry row's converter string names a real callable in this
+    package (module.function, resolved the way consumers would)."""
+    import importlib
+
+    from instancediff_tpu.models import pretrained as P
+
+    for model, tag in P.list_pretrained():
+        cfg = P.get_pretrained_cfg(model, tag)
+        conv = cfg.get("converter")
+        if conv is None:
+            continue
+        mod_name, _, fn_name = conv.rpartition(".")
+        mod = importlib.import_module(f"instancediff_tpu.models.{mod_name}")
+        assert callable(getattr(mod, fn_name)), conv
+        # the npz-only big_vision loader must be paired with an .npz asset
+        if fn_name == "load_big_vision_weights":
+            assert cfg["filename"].endswith(".npz"), (model, tag)
+
+
 def test_pretrained_local_resolution(tmp_path):
     from instancediff_tpu.models import pretrained as P
 

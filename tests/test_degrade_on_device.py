@@ -170,3 +170,148 @@ def test_gt_only_trainUM_e2e(tmp_path, monkeypatch):
     trainUM.main()
     models_dir = tmp_path / "experiments" / "gtonly_e2e" / "models"
     assert (models_dir / "latest_DN.ckpt").is_file()
+
+
+def test_gt_only_without_degrade_on_device_rejected(tmp_path, monkeypatch):
+    """A GT-only dataset with models.*.degrade_on_device unset must fail
+    loudly — otherwise training silently runs on LQ == GT identity pairs."""
+    import trainUM
+
+    index = write_synthetic_index(
+        str(tmp_path / "data"), n_train=2, n_val=0, n_test=0, res=16,
+        artifact_types=["speckle in OCT"], emb_dim=16, seed=0, gt_only=True)
+    cfg = textwrap.dedent(f"""
+    name: gtonly_reject
+    model: learnableFD
+    gpu_ids: [0]
+    resolution: 16
+    artifact_type: ['speckle in OCT']
+    type_map_ind:
+      speckle in OCT: 0
+    datasets:
+      train:
+        name: train_dataset
+        mode: SpeckleMed
+        max_dataset_size: 2
+        batch_size: 2
+        resolution: 16
+        emb_dim: 16
+        dataset_file: {index}
+        gt_only: True
+        use_artifact_type: ['speckle in OCT']
+    path:
+      root: {tmp_path}
+      resume_state: ~
+    train:
+      dist: False
+      which_sde: driftSDE
+      which_model: DriftNoise
+      nepoch: 1
+      manual_seed: 0
+      val_freq: 1000000
+    logger:
+      print_freq: 1000
+      save_checkpoint_freq: 1000000
+    models:
+      DriftNoise:
+        module_name: drift_noise_model
+        class_name: CLIPDriftModel
+        nnet_settings: &tinynet
+          module_name: MSM_degEmb_Unet
+          class_name: LearnableForwardUNet_MultiScoreMap
+          in_nc: 2
+          out_nc: 5
+          nf: 8
+          ch_mult: [1, 2]
+          num_res_blocks: 1
+          context_dim: 16
+          text_module: scoremap
+          score_map_chan: 4
+          if_MultiScoreMap: True
+        dnet_settings: *tinynet
+        use_image_context: True
+        if_MultiScoreMap: True
+        score_map_ch_mult: [1, 1]
+        score_map_ngf: 8
+        CLIP_Type: CLIP
+        tiny_text_encoder: True
+        drift_net_lr: !!float 1e-3
+        noise_net_lr: !!float 1e-3
+        weight_decay_drift: !!float 1e-4
+        eta_min: !!float 1e-6
+        beta1: 0.9
+        beta2: 0.99
+        optimize_type: inputRes
+        optimize_target: std
+    sdes:
+      driftSDE:
+        class_name: driftSDE
+        T: 4
+        max_sigma: 0.4
+        drift_schedule: sigmoid
+        noise_schedule: sigmoid
+    """)
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(cfg)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["trainUM.py", f"-opt={cfg_path}"])
+    with pytest.raises(ValueError, match="degrade_on_device"):
+        trainUM.main()
+
+
+def test_mixed_index_rejected(tmp_path):
+    """An index mixing records with and without 'A' must raise instead of
+    silently discarding the real on-disk LQ files of every other record."""
+    import json
+
+    import numpy as np
+
+    from instancediff_tpu.data.med_dataset import SpeckleMedDataset
+
+    res = 8
+    d = tmp_path / "data"
+    d.mkdir()
+    recs = []
+    for i in range(3):
+        b = d / f"{i}_B.raw"
+        np.zeros(res * res, np.float32).tofile(b)
+        rec = {"B": str(b), "name": "speckle in OCT"}
+        if i != 1:  # one record lacks "A"
+            a = d / f"{i}_A.raw"
+            np.zeros(res * res, np.float32).tofile(a)
+            rec["A"] = str(a)
+        recs.append(rec)
+    index = d / "index.json"
+    index.write_text(json.dumps({"train": recs}))
+    with pytest.raises(ValueError, match="mixes records"):
+        SpeckleMedDataset(str(index), phase="train", resolution=res)
+
+
+def test_ddpm_engine_degrades_on_device():
+    """The DDPM baseline honours models.*.degrade_on_device too (the
+    documented MIGRATION.md gt_only recipe applies to both engines)."""
+    from instancediff_tpu.models.ddpm_model import CLIPDDPMEngine
+    from instancediff_tpu.sde import DDPMSDE
+
+    TINY = dict(in_nc=2, out_nc=5, nf=4, ch_mult=[1, 2], context_dim=16,
+                text_module="scoremap", score_map_chan=2, score_map_ngf=4,
+                num_res_blocks=1)
+
+    def build(flag):
+        return CLIPDDPMEngine(
+            net_settings=TINY, use_image_context=True, CLIP_Type="CLIP",
+            tiny_text_encoder=True, sde=DDPMSDE(T=4), image_size=8,
+            nepoch=2, noise_net_lr=1e-3, seed=0, degrade_on_device=flag)
+
+    k = jax.random.key(0)
+    x0 = jax.random.uniform(k, (2, 8, 8, 1)) * 2 - 1
+    batch = {"input": x0, "target": x0, "type_idx": jnp.array([0, 4]),
+             "A_emb": jnp.zeros((2, 1, 16))}
+    on = build(True)
+    loss_on = on.optimize_parameters(batch, jax.random.key(5))
+    off = build(False)
+    loss_off = off.optimize_parameters(batch, jax.random.key(5))
+    assert np.isfinite(loss_on) and np.isfinite(loss_off)
+    assert abs(loss_on - loss_off) > 1e-8
+    out = on.test(batch, jax.random.key(7), use_ema=False)
+    assert out.shape == x0.shape and bool(jnp.all(jnp.isfinite(np.asarray(out))))

@@ -123,9 +123,11 @@ def main():
     # datasets (reference trainUM.py:159-188)
     train_loader = val_loader = None
     train_sampler = None
+    any_gt_only = False
     for phase, dataset_opt in opt["datasets"].items():
         phase = phase.split("_")[0]
         dataset = data_pkg.create_dataset(dataset_opt)
+        any_gt_only = any_gt_only or bool(getattr(dataset, "gt_only", False))
         if phase == "train":
             # per-host data sharding (DistIterSampler epoch-seeded semantics;
             # multi-host ranks stride the same permutation)
@@ -147,6 +149,12 @@ def main():
     model = create_model(train_opt, model_opt, phase="train",
                          image_size=(opt.get("resolution") or 224),
                          seed=seed)
+    if any_gt_only and not getattr(model, "degrade_on_device", False):
+        # a GT-only dataset feeds LQ == GT placeholders; without on-device
+        # degradation the model would silently train on identity pairs
+        raise ValueError(
+            "datasets.*.gt_only requires models.%s.degrade_on_device: true "
+            "(the LQ images exist only as on-device synthesis)" % which_model)
     model.set_sde(sde)
 
     mesh = (make_mesh(("dp",), (world_size,), devices=jax.devices()[:world_size])
