@@ -242,7 +242,12 @@ class CLIPDDPMEngine:
         packed = getattr(self, "packed_l0", None)
         if packed is None:
             packed = jax.default_backend() == "tpu"
-        packed = packed and self.image_size % 2 == 0
+        # same exclusions as CLIPDriftEngine: even width, <=1 context token
+        # (use_degra_context adds a second), scoremap text module
+        packed = (packed and self.image_size % 2 == 0
+                  and not self.use_degra_context
+                  and self.net_settings.get("text_module",
+                                            "scoremap") == "scoremap")
         clone_kw = {}
         if packed:
             clone_kw.update(packed_l0=True, remat=False)

@@ -154,7 +154,17 @@ class CLIPDriftEngine:
                     f"unknown engine knob {k!r}; valid: {sorted(ENGINE_KNOBS)}")
             setattr(self, k, v)
         self.optimize_type = optimize_type
+        if optimize_target != "std":
+            # reference reverse_ddpm takes reverse_type=optimize_target
+            # (drift_noise_model.py:650); only the config's 'std' contract
+            # (noise net predicts standard noise) is reconstructed — fail
+            # loudly instead of silently sampling with the wrong algebra
+            raise ValueError(
+                f"optimize_target {optimize_target!r} is not supported "
+                "(only 'std', the reference config.yml default)")
         self.optimize_target = optimize_target
+        self.drift_loss = drift_loss
+        self.noise_loss = noise_loss
         self.use_image_context = use_image_context
         self.use_degra_context = use_degra_context
         self.nepoch = nepoch
@@ -423,8 +433,18 @@ class CLIPDriftEngine:
                 nparams, n_in[0], n_in[1], tb, ty, text_fn=text_fn,
                 image_context=img_ctx, degra_context=degra_ctx,
             )
-        dloss = jnp.mean((pred_drift - d_target) ** 2)
-        nloss = jnp.mean((pred_noise - n_target) ** 2)
+        # drift_loss 'l1'|'l2' and noise_loss 'uni' follow the reference's
+        # knob semantics (active in its legacy variants, drift_noise_model.py
+        # :495-507; the live inputRes path hard-codes l2, our defaults match)
+        if self.drift_loss == "l1":
+            dloss = jnp.mean(jnp.abs(pred_drift - d_target))
+        else:
+            dloss = jnp.mean((pred_drift - d_target) ** 2)
+        if self.noise_loss == "uni":
+            nloss = jnp.mean((pred_noise + pred_drift
+                              - (n_target + d_target)) ** 2)
+        else:
+            nloss = jnp.mean((pred_noise - n_target) ** 2)
 
         def sm_loss(sms, label):
             # optimize_score_map (drift_noise_model.py:234-240): pyramid L2 / 2
@@ -600,10 +620,20 @@ class CLIPDriftEngine:
         # vmap. Default ON on TPU (per-conv packing alone loses to relayout
         # copies — measured 1.32 img/s — and stays opt-in via
         # use_packed_conv).
+        # dual-net fusion needs identical architectures (the training path
+        # checks the same through _can_fuse_dual; heterogeneous nets would
+        # crash the param-tree stack below)
+        fuse_dual = fuse_dual and self.dnet_settings == self.nnet_settings
         packed = getattr(self, "packed_l0", None)
         if packed is None:
             packed = jax.default_backend() == "tpu"
-        packed = packed and self.image_size % 2 == 0
+        # same exclusions as the packed TRAIN guard: the packed forward
+        # supports even widths, <=1 context token (use_degra_context adds a
+        # second) and the scoremap text module
+        packed = (packed and self.image_size % 2 == 0
+                  and not self.use_degra_context
+                  and self.dnet_settings.get("text_module",
+                                             "scoremap") == "scoremap")
         if packed:
             # with full-lane packed convs the stacked-params vmap turns them
             # into grouped convs and LOSES: 2.33 vs 2.53 img/s measured —

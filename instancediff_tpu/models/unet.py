@@ -557,7 +557,8 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         ]
 
         mid_ch = self.nf * self.ch_mult[-1]
-        self.mid1 = RB(mid_ch, use_context=self.use_image_context,
+        self.mid1 = RB(mid_ch,
+                       use_context=self.use_image_context or self.use_degra_context,
                              context_dim=self.context_dim,
                              use_pallas_gn=self.use_pallas_gn,
                         use_fused_gnconv=self.use_fused_gnconv,
@@ -566,7 +567,8 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                              dtype=self.dtype, name="mid1")
         self.mid_attn = SelfAttention2D(use_flash=self.flash_mid,
                                         dtype=self.dtype, name="mid_attn")
-        self.mid2 = RB(mid_ch, use_context=self.use_image_context,
+        self.mid2 = RB(mid_ch,
+                       use_context=self.use_image_context or self.use_degra_context,
                              context_dim=self.context_dim,
                              use_pallas_gn=self.use_pallas_gn,
                         use_fused_gnconv=self.use_fused_gnconv,
@@ -699,11 +701,23 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
             d = degra_context.astype(self.dtype)
             context = d if context is None else jnp.concatenate([context, d], axis=1)
 
-        if (self.packed_l0 and x_a.shape[2] % 2 == 0
-                and (context is None or context.shape[1] == 1)
-                and self.text_module == "scoremap"):
-            return self._packed_forward(x_a, x_b, temb, context, type_idx,
-                                        text_fn, text_embs)
+        if self.packed_l0:
+            if (x_a.shape[2] % 2 == 0
+                    and (context is None or context.shape[1] == 1)
+                    and self.text_module == "scoremap"):
+                return self._packed_forward(x_a, x_b, temb, context, type_idx,
+                                            text_fn, text_embs)
+            # the unpacked path below cannot run: conv_in/down/up/conv_out
+            # are param-only holders under packed_l0 — fail with the reason
+            # instead of a cryptic trace error (the engines guard these
+            # conditions; a direct clone(packed_l0=True) may not)
+            raise ValueError(
+                "packed_l0 forward requires an even image width, at most "
+                "one context token (use_degra_context adds a second) and "
+                "text_module='scoremap'; got width "
+                f"{x_a.shape[2]}, context tokens "
+                f"{None if context is None else context.shape[1]}, "
+                f"text_module={self.text_module!r}")
 
         h = self.conv_in(x.astype(self.dtype))
         skips = []
@@ -939,18 +953,13 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                     scoremaps[i] = sup
                     skip = jnp.concatenate(
                         [skip, self.smm_fuse[smm_i](maps)], axis=-1)
-            if i == 0:
-                # h arrives packed from packed_up_conv; segments follow the
-                # logical concat [h(nf), skip(nf), smm(score_map_chan)]
-                h = jnp.concatenate([h, skip], axis=-1)
-                bi -= self.num_res_blocks + 1
-                for j in range(self.num_res_blocks + 1):
-                    h = self.dec_blocks[bi + j](h, temb, context)
-            else:
-                h = jnp.concatenate([h, skip], axis=-1)
-                bi -= self.num_res_blocks + 1
-                for j in range(self.num_res_blocks + 1):
-                    h = self.dec_blocks[bi + j](h, temb, context)
+            # at i == 0, h arrives packed from packed_up_conv; segments
+            # follow the logical concat [h(nf), skip(nf), smm(score_map_chan)]
+            h = jnp.concatenate([h, skip], axis=-1)
+            bi -= self.num_res_blocks + 1
+            for j in range(self.num_res_blocks + 1):
+                h = self.dec_blocks[bi + j](h, temb, context)
+            if i > 0:
                 if i == 1:
                     ku, bu = self.up[0](h.shape[-1])
                     up_fn = (pk.packed_up_conv_subpix if self.subpix_up

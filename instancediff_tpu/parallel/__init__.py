@@ -6,6 +6,7 @@ from .mesh import (
     shard_params_fsdp,
     replicate_tree,
 )
+from .spatial import shard_spatial, spatial_sharding
 
 __all__ = [
     "make_mesh",
@@ -14,5 +15,6 @@ __all__ = [
     "shard_batch",
     "shard_params_fsdp",
     "replicate_tree",
+    "shard_spatial",
+    "spatial_sharding",
 ]
-from .spatial import shard_spatial, spatial_sharding

@@ -65,20 +65,16 @@ class DDPMSDE:
         near t=T the 1/sqrt(abar_t) amplification feeds prediction error back
         through the loop; measured unclipped at 224px the state diverges to
         |x| ~ 1e2 (PSNR -52) while clipped sampling is stable."""
-        import numpy as _np
-
         shape = mu.shape if shape is None else shape
         B = shape[0]
         eta_v = 1.0 if eta is None else float(eta)
         k_init, k_loop = jax.random.split(key)
         x_T = jax.random.normal(k_init, shape, dtype=mu.dtype) * self.max_sigma
 
-        n_steps = self.T if sample_steps is None else int(sample_steps)
-        grid = _np.unique(_np.round(
-            _np.linspace(0, self.T, n_steps + 1)).astype(_np.int32))
-        t_hi = jnp.asarray(grid[1:][::-1].copy())   # T ... first
-        t_lo = jnp.asarray(grid[:-1][::-1].copy())  # ... 0
-        step_keys = jax.random.split(k_loop, len(grid) - 1)
+        from .schedules import strided_sampling_grid
+
+        t_hi, t_lo = strided_sampling_grid(self.T, sample_steps)
+        step_keys = jax.random.split(k_loop, len(t_hi))
 
         abar = self.alphas_bar
 

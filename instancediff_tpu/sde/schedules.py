@@ -63,3 +63,17 @@ def schedule_increment(schedule: jnp.ndarray) -> jnp.ndarray:
     (drift_noise_model.py:10-16)."""
     ds = jnp.diff(schedule, prepend=schedule[:1])
     return ds
+
+
+def strided_sampling_grid(T: int, sample_steps=None):
+    """Reverse-sampler timestep grid: ``(t_hi, t_lo)`` arrays running
+    T -> 0 over ``sample_steps`` (or all T) strided posterior pairs.
+    Shared by DriftSDE.reverse_ddpm and DDPMSDE strided sampling."""
+    import numpy as _np
+
+    n_steps = T if sample_steps is None else int(sample_steps)
+    grid = _np.unique(_np.round(
+        _np.linspace(0, T, n_steps + 1)).astype(_np.int32))
+    t_hi = jnp.asarray(grid[1:][::-1].copy())   # T ... first
+    t_lo = jnp.asarray(grid[:-1][::-1].copy())  # ... 0
+    return t_hi, t_lo

@@ -36,11 +36,10 @@ class Restorer:
         self._mesh = None
         self._key = jax.random.key(seed)
         self._count = 0
+        from .models.drift_model import ARTIFACT_PROMPTS
+
         self.type_map = getattr(engine, "type_map", None) or {
-            name: i for i, name in enumerate(
-                ("speckle in OCT", "speckle in ultra sound",
-                 "noise in cryo-EM image", "noise in low dose CT",
-                 "Gaussian noise in MRI"))
+            name: i for i, name in enumerate(ARTIFACT_PROMPTS)
         }
 
     @classmethod
@@ -73,6 +72,23 @@ class Restorer:
         pth = pth_dir or (opt.get("test") or {}).get("pth_dir")
         if pth:
             engine.load(pth, iteration, use_ema=use_ema)
+        if (opt.get("test") or {}).get("on_device_emb") \
+                and hasattr(engine, "attach_image_tower"):
+            # same wiring as testUM: the sampler embeds the degraded input
+            # itself — without this a use_image_context model would serve
+            # with zero embeddings it never saw in training
+            import jax.numpy as jnp
+
+            from .models.clip_vit import build_image_tower
+
+            res = opt.get("resolution") or 224
+            tower = build_image_tower(
+                embed_dim=engine.context_dim,
+                tiny=bool(model_opt.get("tiny_text_encoder")))
+            tparams = jax.jit(
+                lambda k: tower.init(k, jnp.zeros((1, res, res, 1)))
+            )(jax.random.key(7))
+            engine.attach_image_tower(tower, tparams)
         r = cls(engine, batch_size=batch_size, use_ema=use_ema,
                 sample_steps=sample_steps, seed=seed, eta=eta,
                 spatial=spatial)
@@ -92,8 +108,18 @@ class Restorer:
         N = images.shape[0]
         if isinstance(artifact_types, str):
             artifact_types = [artifact_types] * N
+        if len(artifact_types) != N:
+            raise ValueError(
+                f"got {len(artifact_types)} artifact types for {N} images "
+                "(pass one name per image, or a single name for all)")
+        unknown = sorted({t for t in artifact_types if t not in self.type_map})
+        if unknown:
+            # a typo'd name must not silently condition on artifact index 0
+            raise KeyError(
+                f"unknown artifact type(s) {unknown}; "
+                f"known: {sorted(self.type_map)}")
         type_idx = np.asarray(
-            [self.type_map.get(t, 0) for t in artifact_types], dtype=np.int32)
+            [self.type_map[t] for t in artifact_types], dtype=np.int32)
         if emb is None:
             emb = np.zeros((N, 1, self.engine.context_dim), dtype=np.float32)
 

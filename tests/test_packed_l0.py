@@ -560,3 +560,44 @@ def test_unet_subpix_up_matches_standard():
     got2, _ = pnet.apply(pp, x_a, x_b, t, ty,
                          text_embs=text_embs, image_context=ctx)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(got))
+
+
+def test_packed_l0_fallback_raises_informative():
+    """A packed_l0 UNet asked to run an unsupported shape (odd width) fails
+    with the reason instead of crashing inside the param-holder modules."""
+    from instancediff_tpu.models.unet import LearnableForwardUNetMultiScoreMap
+
+    net = LearnableForwardUNetMultiScoreMap(
+        in_nc=2, out_nc=5, nf=8, ch_mult=(1, 2), context_dim=16,
+        score_map_chan=4, score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, token_embed_dim=16, num_res_blocks=1,
+        packed_l0=True)
+    x = jax.random.normal(jax.random.key(0), (1, 10, 9, 1))  # odd width
+    t = jnp.array([1], jnp.int32)
+    ty = jnp.zeros((1,), jnp.int32)
+    text_embs = [jnp.zeros((5, 16))] * 2
+    with pytest.raises(ValueError, match="packed_l0 forward requires"):
+        net.init(jax.random.key(1), x, x, t, ty, text_embs=text_embs,
+                 image_context=jnp.zeros((1, 1, 16)))
+
+
+def test_sampler_heterogeneous_nets_fall_back_sequential():
+    """build_sample_fn must not stack heterogeneous dual-net param trees
+    (fusion requires identical architectures)."""
+    from instancediff_tpu.models.drift_model import CLIPDriftEngine
+    from instancediff_tpu.sde import DriftSDE
+
+    d = dict(in_nc=2, out_nc=5, nf=8, ch_mult=[1, 2], context_dim=16,
+             text_module="scoremap", score_map_chan=4, if_MultiScoreMap=True,
+             num_res_blocks=1)
+    n = dict(d, nf=4)  # different width => fusion impossible
+    eng = CLIPDriftEngine(
+        dnet_settings=d, nnet_settings=n, score_map_ch_mult=(1, 1),
+        score_map_ngf=8, use_image_context=True, CLIP_Type="CLIP",
+        tiny_text_encoder=True, sde=DriftSDE(T=3, max_sigma=0.4),
+        image_size=8, if_train=False, seed=0)
+    mu = jax.random.uniform(jax.random.key(1), (2, 8, 8, 1)) * 2 - 1
+    out = eng.test({"input": mu, "type_idx": jnp.zeros((2,), jnp.int32),
+                    "A_emb": jnp.zeros((2, 1, 16))},
+                   jax.random.key(2), use_ema=False)
+    assert out.shape == mu.shape and bool(jnp.isfinite(out).all())

@@ -274,3 +274,15 @@ def test_restore_cli_png_and_unknown_type(tmp_path):
         restore_cli.main([f"-opt={cfg}", "--images", str(raw),
                           "--type", "no such artifact", "--res", "8",
                           "--out", str(tmp_path / "out"), "--no-ema"])
+
+
+def test_restore_rejects_unknown_type(restorer):
+    imgs = np.zeros((1, 8, 8, 1), np.float32)
+    with pytest.raises(KeyError, match="unknown artifact type"):
+        restorer.restore(imgs, "gaussian noise in MRI")  # wrong case
+
+
+def test_restore_rejects_type_count_mismatch(restorer):
+    imgs = np.zeros((3, 8, 8, 1), np.float32)
+    with pytest.raises(ValueError, match="artifact types"):
+        restorer.restore(imgs, ["speckle in OCT"] * 2)
