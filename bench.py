@@ -57,6 +57,11 @@ def main():
                          "on device inside the jitted sampler (BASELINE "
                          "config 3) instead of fed as a zero placeholder")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--rng", default="threefry2x32",
+                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                    help="PRNG impl for the sampling key; rbg is the "
+                         "TPU-vectorised generator (different but equally "
+                         "distributed noise draws)")
     ap.add_argument("--ckpt-dir", default=None,
                     help="load trained weight bundles (e.g. "
                          "experiments/flagship_224/models) so the benched "
@@ -115,8 +120,8 @@ def main():
             jax.random.key(3), jnp.zeros((1, args.res, args.res, 1)))
         eng.attach_image_tower(tower, tower_params)
 
-    key = jax.random.key(0)
-    mu = jax.random.uniform(key, (batch_size, res, res, 1)) * 2 - 1
+    key = jax.random.key(0, impl=args.rng)
+    mu = jax.random.uniform(jax.random.key(0), (batch_size, res, res, 1)) * 2 - 1
     type_idx = jnp.arange(batch_size, dtype=jnp.int32) % 5
     a_emb = jnp.zeros((batch_size, 1, eng.context_dim))
 
