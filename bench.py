@@ -28,6 +28,41 @@ import time
 
 A100_BASELINE_IMG_PER_SEC = 0.5  # central estimate; derivation in BASELINE.md
 
+# bf16 peak TFLOP/s by TPU device kind, for the MFU field (public specs).
+# The north-star chip (BASELINE.json) is v5p; this box benches on v5e —
+# see BASELINE.md "Hardware-normalized north-star position".
+TPU_BF16_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
+
+
+def _bf16_peak_tflops() -> float | None:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in TPU_BF16_PEAK_TFLOPS.items():
+        if kind.startswith(k):
+            return v
+    return None
+
+
+def _program_flops(compiled) -> float | None:
+    """Total FLOPs of ONE executable invocation from XLA's own cost model
+    (counts the ops as executed, i.e. including packed-kernel overhead —
+    the right numerator for MFU)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
 
 
 def _setup_jax_cache():
@@ -150,7 +185,9 @@ def main():
 
     tower_params = eng.image_tower_params
 
-    # compile + warmup
+    # AOT compile (keeps a handle for XLA's cost analysis) + warmup
+    compiled = sample.lower(dparams, nparams, eng.text_params, mu, type_idx,
+                            a_emb, key, tower_params).compile()
     out = sample(dparams, nparams, eng.text_params, mu, type_idx, a_emb, key,
                  tower_params)
     jax.block_until_ready(out)
@@ -170,7 +207,19 @@ def main():
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 4),
+        # roofline context (VERDICT r3 #8): per-sampler-step latency and
+        # achieved rate vs this chip's bf16 peak, from XLA's own cost model
+        "ms_per_step": round(best / args.steps * 1e3, 4),
     }
+    flops = _program_flops(compiled)
+    peak = _bf16_peak_tflops()
+    if flops is not None:
+        achieved = flops / best / 1e12
+        record["achieved_tflops"] = round(achieved, 2)
+        if peak is not None:
+            record["mfu"] = round(achieved / peak, 4)
+            record["peak_tflops_bf16"] = peak
+    record["device_kind"] = jax.devices()[0].device_kind
     if args.on_device_emb:
         record["config"] = "on-device-emb"
     print(json.dumps(record))
