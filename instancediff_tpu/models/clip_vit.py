@@ -28,6 +28,27 @@ OPENAI_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
+def patch_dropout_tokens(key, x, prob: float, exclude_first_token: bool = True):
+    """Training-time PatchDropout (vendored transformer.py:49-86): keep a
+    per-sample random subset of ``max(1, int(N * (1-prob)))`` tokens, the
+    first (cls) token always kept when ``exclude_first_token``. Token order
+    follows the random draw, as in the reference's ``randn().topk`` indices.
+    Static output shape — XLA-friendly."""
+    assert 0.0 <= prob < 1.0
+    if prob == 0.0:
+        return x
+    if exclude_first_token:
+        cls_tok, patches = x[:, :1], x[:, 1:]
+    else:
+        cls_tok, patches = x[:, :0], x
+    B, n_tok = patches.shape[0], patches.shape[1]
+    num_keep = max(1, int(n_tok * (1.0 - prob)))
+    rand = jax.random.normal(key, (B, n_tok))
+    _, keep_idx = jax.lax.top_k(rand, num_keep)
+    patches = jnp.take_along_axis(patches, keep_idx[..., None], axis=1)
+    return jnp.concatenate([cls_tok, patches], axis=1)
+
+
 class CLIPVisionTower(nn.Module):
     """ViT image encoder. ``__call__(images [B,H,W,C in [-1,1]]) -> [B, embed_dim]``."""
 
@@ -44,10 +65,16 @@ class CLIPVisionTower(nn.Module):
     # OpenAI CLIP ViTs normalise token embeddings BEFORE the transformer
     # (visual.ln_pre); timm/BiomedCLIP ViTs don't
     use_ln_pre: bool = False
+    # PatchDropout (vendored transformer.py:49-86, applied between pos-embed
+    # and ln_pre at :512): training-only random token subset, cls excluded.
+    # Needs a 'patch_dropout' rng and deterministic=False to be active.
+    patch_dropout: float = 0.0
+    # LayerScale per-branch gammas (transformer.py:39-47 via ls_init_value)
+    ls_init: float | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, deterministic: bool = True):
         B, H, W, C = images.shape
         # [-1,1] -> [0,1] -> OpenAI normalisation, grayscale -> RGB broadcast
         x01 = (images + 1.0) / 2.0
@@ -81,13 +108,18 @@ class CLIPVisionTower(nn.Module):
                              (n_pos, self.width))
         x = x + pos[None].astype(x.dtype)
 
+        if self.patch_dropout > 0.0 and not deterministic:
+            x = patch_dropout_tokens(self.make_rng("patch_dropout"), x,
+                                     self.patch_dropout)
+
         if self.use_ln_pre:
             x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
                              name="ln_pre")(x)
         for i in range(self.layers):
             x = TransformerBlock(self.width, self.heads, act=self.act,
-                                 ln_eps=self.ln_eps,
-                                 dtype=self.dtype, name=f"block_{i}")(x)
+                                 ln_eps=self.ln_eps, ls_init=self.ls_init,
+                                 dtype=self.dtype, name=f"block_{i}")(
+                                     x, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
                          name="ln_post")(x)
         pooled = x[:, 0]  # class-token pooling (timm 'token' pool)
@@ -207,6 +239,11 @@ def load_torch_clip_vision_weights(params, checkpoint_path_or_sd):
         blk["fc"]["bias"] = to_np(sd[f"{R}.mlp.c_fc.bias"])
         blk["proj"]["kernel"] = to_np(sd[f"{R}.mlp.c_proj.weight"]).T
         blk["proj"]["bias"] = to_np(sd[f"{R}.mlp.c_proj.bias"])
+        # LayerScale gammas (open_clip naming), present when the checkpoint
+        # was trained with ls_init_value (vendored transformer.py:203,214)
+        for tn, on in ((f"{R}.ls_1.gamma", "ls_1"), (f"{R}.ls_2.gamma", "ls_2")):
+            if tn in sd and on in blk:
+                blk[on] = to_np(sd[tn])
     if "visual.ln_post.weight" in sd:
         inner["ln_post"]["scale"] = to_np(sd["visual.ln_post.weight"])
         inner["ln_post"]["bias"] = to_np(sd["visual.ln_post.bias"])
@@ -241,6 +278,11 @@ def load_torch_clip_vision_weights(params, checkpoint_path_or_sd):
             blk["fc"]["bias"] = to_np(sd[f1.replace("weight", "bias")])
             blk["proj"]["kernel"] = to_np(sd[f2]).T
             blk["proj"]["bias"] = to_np(sd[f2.replace("weight", "bias")])
+            # LayerScale gammas (timm naming: ls1/ls2)
+            for tn, on in ((f"visual.trunk.blocks.{i}.ls1.gamma", "ls_1"),
+                           (f"visual.trunk.blocks.{i}.ls2.gamma", "ls_2")):
+                if tn in sd and on in blk:
+                    blk[on] = to_np(sd[tn])
     k = key_like("visual.trunk.norm.weight")
     if k:
         inner["ln_post"]["scale"] = to_np(sd[k])

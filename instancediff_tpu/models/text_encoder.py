@@ -45,8 +45,11 @@ class TransformerBlock(nn.Module):
     (DropPath :328-340, linear decay handled by the caller per the Transformer
     decay rule :424); active only with ``deterministic=False`` and a
     ``drop_path`` rng. ``qkv_clamp`` mirrors the Attention_flash fp16
-    overflow clamp (:509-513). Both default off — the reference's shipped
-    settings."""
+    overflow clamp (:509-513). ``ls_init`` enables per-branch LayerScale
+    gammas (vendored transformer.py:39-47 ``LayerScale``; wired as
+    ``ls_init_value`` into ResidualAttentionBlock :203,214 — branch order is
+    ``x + drop_path(ls(branch(ln(x))))``). All default off — the reference's
+    shipped settings."""
 
     width: int
     heads: int
@@ -57,6 +60,7 @@ class TransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     drop_path_rate: float = 0.0
     qkv_clamp: Optional[float] = None
+    ls_init: Optional[float] = None
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -65,7 +69,11 @@ class TransformerBlock(nn.Module):
         else:  # timm/HF towers use the EXACT erf GELU (torch nn.GELU default)
             act = lambda h: jax.nn.gelu(h, approximate=False)  # noqa: E731
 
-        def branch(h):
+        def branch(h, ls_name):
+            if self.ls_init is not None:
+                gamma = self.param(ls_name, nn.initializers.constant(self.ls_init),
+                                   (self.width,))
+                h = h * gamma.astype(h.dtype)
             if self.drop_path_rate > 0.0 and not deterministic:
                 return drop_path(self.make_rng("drop_path"), h,
                                  self.drop_path_rate)
@@ -77,11 +85,12 @@ class TransformerBlock(nn.Module):
         v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(h)
         attn = multi_head_attention(q, k, v, self.heads, mask=mask,
                                     qkv_clamp=self.qkv_clamp)
-        x = x + branch(nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn))
+        x = x + branch(nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn),
+                       "ls_1")
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(int(self.width * self.mlp_ratio), dtype=self.dtype, name="fc")(h)
         h = act(h)
-        x = x + branch(nn.Dense(self.width, dtype=self.dtype, name="proj")(h))
+        x = x + branch(nn.Dense(self.width, dtype=self.dtype, name="proj")(h), "ls_2")
         return x
 
 
