@@ -50,16 +50,20 @@ def _bf16_peak_tflops() -> float | None:
     return None
 
 
-def _program_flops(compiled) -> float | None:
+def _program_flops(compiled, n_steps: int) -> float | None:
     """Total FLOPs of ONE executable invocation from XLA's own cost model
-    (counts the ops as executed, i.e. including packed-kernel overhead —
-    the right numerator for MFU)."""
+    (counts ops as executed, i.e. including packed-kernel overhead — the
+    right numerator for MFU). XLA's cost analysis counts a while-loop body
+    ONCE regardless of trip count, so the T-step ``lax.scan`` sampler body
+    is scaled by ``n_steps`` here; the outside-loop prologue (<1% of the
+    graph) is then overcounted by the same factor — a conservatively HIGH
+    numerator by well under 1%."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):  # older jax returns [dict]
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
-        return flops if flops > 0 else None
+        return flops * n_steps if flops > 0 else None
     except Exception:
         return None
 
@@ -211,7 +215,7 @@ def main():
         # achieved rate vs this chip's bf16 peak, from XLA's own cost model
         "ms_per_step": round(best / args.steps * 1e3, 4),
     }
-    flops = _program_flops(compiled)
+    flops = _program_flops(compiled, args.steps)
     peak = _bf16_peak_tflops()
     if flops is not None:
         achieved = flops / best / 1e12

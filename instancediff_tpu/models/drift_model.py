@@ -41,7 +41,8 @@ from .text_encoder import build_text_encoder
 ENGINE_KNOBS = frozenset(
     {"pallas_gn", "fused_gnconv", "scan_unroll", "fuse_dual_train",
      "packed_l0", "ksplit_dec", "int8_conv", "decomp_l0", "tapsum_out",
-     "shift_l0", "flash_mid", "gnfold_l0", "hoist_noise", "subpix_up"}
+     "shift_l0", "flash_mid", "gnfold_l0", "hoist_noise", "subpix_up",
+     "presum_dec"}
 )
 
 
@@ -670,6 +671,14 @@ class CLIPDriftEngine:
             # transformed kernel's 2x, zero relayout copies (exact;
             # ops/packed_l0.py). Disable via engine.shift_l0 = 0.
             clone_kw["shift_l0"] = True
+        if getattr(self, "presum_dec", False):
+            # concat-free decoder j==0 blocks: the [h | skip | smm] concat
+            # never materialises — GN stats combine per-part sums, conv1/
+            # skip split per input segment and sum (exact by linearity;
+            # engine.presum_dec, ops/packed_l0.py *_parts). Value "tailmat"
+            # additionally runs the thin smm tail as ONE im2col matmul
+            # (K=9*16 -> 2 MXU passes instead of 9 per-tap-padded ones)
+            clone_kw["presum_dec"] = self.presum_dec
         if packed and getattr(self, "gnfold_l0", False):
             # packed GroupNorm group-fold via contiguous reshape-reduce
             # instead of the 4 tiny one-hot matmuls per GN (exact)

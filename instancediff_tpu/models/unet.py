@@ -63,6 +63,35 @@ def _gn_groups(c):
     return g
 
 
+def _gn_silu_parts(parts, scale, bias, num_groups, eps=1e-5):
+    """GroupNorm+SiLU over a CONCAT-FREE part list (unpacked NHWC): the
+    decoder j==0 [h | skip | smm] concat never materialises — exact group
+    statistics from per-part channel sums (VERDICT r3 item 1a). Returns
+    normalised parts; value-identical to GN over the concat up to f32
+    summation order."""
+    colsums, colsqs = [], []
+    for p in parts:
+        pf = p.astype(jnp.float32)
+        colsums.append(jnp.sum(pf, axis=(1, 2)))
+        colsqs.append(jnp.sum(pf * pf, axis=(1, 2)))
+    colsum = jnp.concatenate(colsums, axis=-1)  # [B, total] (tiny)
+    colsq = jnp.concatenate(colsqs, axis=-1)
+    C = colsum.shape[-1]
+    n_el = parts[0].shape[1] * parts[0].shape[2] * (C // num_groups)
+    mean_c, rstd_c = pk._group_fold(colsum, colsq, n_el, num_groups, eps)
+    sc = rstd_c * scale.astype(jnp.float32)[None]
+    sh = bias.astype(jnp.float32)[None] - mean_c * sc
+    outs, off = [], 0
+    for p in parts:
+        c = p.shape[-1]
+        o = (p.astype(jnp.float32) * sc[:, None, None, off:off + c]
+             + sh[:, None, None, off:off + c])
+        o = o * jax.nn.sigmoid(o)
+        outs.append(o.astype(p.dtype))
+        off += c
+    return outs
+
+
 class FusedGroupNormSiLU(nn.Module):
     """GroupNorm + SiLU with a static backend switch: the differentiable jnp
     reference (training) or the fused Pallas kernel (sampling on TPU) — both
@@ -262,6 +291,9 @@ class ResBlock(nn.Module):
     # ops/packed_l0.py)
     gn_fold: str = "matmul"  # GroupNorm group-fold: "matmul" (one-hot) or
     # "reshape" (contiguous reduce + repeat; engine.gnfold_l0)
+    tail_matmul: bool = False  # presum mode "tailmat": thin (<64ch) trailing
+    # concat segments via ONE im2col matmul instead of a per-tap-K-padded
+    # conv (engine.presum_dec="tailmat"; ops/packed_l0.py)
     dtype: jnp.dtype = jnp.float32
 
     def _conv3(self, features, name, kernel_init=None):
@@ -277,6 +309,12 @@ class ResBlock(nn.Module):
         if self.packed_segments is not None:
             return self._packed_body(h, temb, context,
                                      list(self.packed_segments))
+        if isinstance(h, (tuple, list)):
+            # concat-free decoder j==0 block (engine.presum_dec): the
+            # [h | skip | smm] concat arrives as parts and is never
+            # materialised — GN stats combine per-part sums, conv1/skip
+            # split by input segment and sum (exact by linearity)
+            return self._presum_body(list(h), temb, context)
         in_ch = h.shape[-1]
         if self.use_fused_gnconv and (context is None or context.shape[1] == 1):
             return self._fused_body(h, temb, context, in_ch)
@@ -335,7 +373,12 @@ class ResBlock(nn.Module):
         """Width-packed ResBlock (ops/packed_l0.py): input/output are packed
         [B,H,W/2,2*C] tensors; identical param tree via the param-holder
         modules. Inference path (the level-0 blocks are ~44% of sampler
-        time at C=64; packed they run at full MXU/VPU lane width)."""
+        time at C=64; packed they run at full MXU/VPU lane width).
+
+        ``hp`` may arrive as a per-segment part LIST (engine.presum_dec):
+        the decoder concat is then never materialised — GN stats combine
+        per-part sums, conv1/skip split per segment and sum (exact)."""
+        parts = list(hp) if isinstance(hp, (tuple, list)) else None
         in_ch = sum(segments)
         g1s, g1b = _GNParams(name="gns1")(in_ch)
         k1, b1 = _ConvParams(self.out_ch, name="conv1")(in_ch)
@@ -345,14 +388,24 @@ class ResBlock(nn.Module):
         tb = nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(
             nn.silu(temb))  # [B, out_ch]
 
-        x = pk.gn_silu_packed(hp, g1s, g1b, _gn_groups(in_ch), segments,
-                              fold_mode=self.gn_fold)
+        if parts is not None:
+            xs = pk.gn_silu_packed_parts(parts, g1s, g1b, _gn_groups(in_ch),
+                                         segments, fold_mode=self.gn_fold)
+        else:
+            x = pk.gn_silu_packed(hp, g1s, g1b, _gn_groups(in_ch), segments,
+                                  fold_mode=self.gn_fold)
         if self.shift and not (self.int8 or self.decomp):
             # shift-alternating: conv1 std->shifted, conv2 shifted->std,
             # both 1.33x physical FLOPs (ops/packed_l0.py)
-            q = pk.conv3x3_std_to_shift(x.astype(self.dtype),
-                                        k1.astype(self.dtype),
-                                        segments=segments)
+            if parts is not None:
+                q = pk.conv3x3_std_to_shift_parts(
+                    [p.astype(self.dtype) for p in xs],
+                    k1.astype(self.dtype), segments,
+                    tail_matmul=self.tail_matmul)
+            else:
+                q = pk.conv3x3_std_to_shift(x.astype(self.dtype),
+                                            k1.astype(self.dtype),
+                                            segments=segments)
             bias1 = (jnp.tile(b1, 2)[None] + jnp.tile(tb, (1, 2))).astype(
                 q.dtype)
             q = q + bias1[:, None, None, :]
@@ -365,9 +418,16 @@ class ResBlock(nn.Module):
             ks = None
             if self.ksplit and _ksplit_groups(segments) is not None:
                 ks = [tuple(range(len(segments) - 1)), (len(segments) - 1,)]
-            x = pk.packed_conv3x3(x.astype(self.dtype), k1.astype(self.dtype),
-                                  segments=segments, k_split=ks, int8=self.int8,
-                                  decomp=self.decomp)
+            if parts is not None:
+                x = pk.packed_conv3x3_parts(
+                    [p.astype(self.dtype) for p in xs],
+                    k1.astype(self.dtype), segments=segments,
+                    tail_matmul=self.tail_matmul)
+            else:
+                x = pk.packed_conv3x3(x.astype(self.dtype),
+                                      k1.astype(self.dtype),
+                                      segments=segments, k_split=ks,
+                                      int8=self.int8, decomp=self.decomp)
             # conv1 bias + timestep projection, parity-tiled [B, 2*out_ch]
             bias1 = (jnp.tile(b1, 2)[None] + jnp.tile(tb, (1, 2))).astype(x.dtype)
             x = x + bias1[:, None, None, :]
@@ -378,6 +438,12 @@ class ResBlock(nn.Module):
                                   int8=self.int8, decomp=self.decomp)
         if in_ch == self.out_ch and len(segments) == 1:
             res = hp
+        elif parts is not None:
+            ks, bs = _Conv1x1Params(self.out_ch, name="skip")(in_ch)
+            res = pk.packed_conv1x1_parts(
+                [p.astype(self.dtype) for p in parts],
+                ks.astype(self.dtype), bs.astype(self.dtype),
+                segments=segments)
         else:
             ks, bs = _Conv1x1Params(self.out_ch, name="skip")(in_ch)
             res = pk.packed_conv1x1(hp.astype(self.dtype),
@@ -388,6 +454,52 @@ class ResBlock(nn.Module):
             xb = _XAttnBias(self.out_ch, dtype=self.dtype,
                             name="xattn")(context)  # [B, out_ch]
             h = h + jnp.tile(xb, (1, 2))[:, None, None, :]
+        return h
+
+    def _presum_body(self, parts, temb, context):
+        """Concat-free unpacked ResBlock (decoder j==0 at levels 1..n,
+        engine.presum_dec): identical param tree via the param holders;
+        GN stats from per-part sums, conv1/skip per-segment and summed.
+        Exact by linearity (values match the concat path up to f32
+        summation order)."""
+        widths = [p.shape[-1] for p in parts]
+        in_ch = sum(widths)
+        g1s, g1b = _GNParams(name="gns1")(in_ch)
+        k1, b1 = _ConvParams(self.out_ch, name="conv1")(in_ch)
+        xs = _gn_silu_parts(parts, g1s, g1b, _gn_groups(in_ch))
+        y, off = None, 0
+        for p in xs:
+            c = p.shape[-1]
+            kd = k1[:, :, off:off + c, :].astype(self.dtype)
+            pd = p.astype(self.dtype)
+            if self.tail_matmul and c < 64:
+                yi = pk.conv3x3_tail_matmul(pd, kd)
+            else:
+                dn = jax.lax.conv_dimension_numbers(pd.shape, kd.shape,
+                                                    ("NHWC", "HWIO", "NHWC"))
+                yi = jax.lax.conv_general_dilated(pd, kd, (1, 1), "SAME",
+                                                  dimension_numbers=dn)
+            y = yi if y is None else y + yi
+            off += c
+        x = y + b1.astype(y.dtype)
+        x = x + nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(
+            nn.silu(temb))[:, None, None]
+        x = FusedGroupNormSiLU(_gn_groups(self.out_ch),
+                               use_pallas=self.use_pallas_gn, name="gns2")(x)
+        x = self._conv3(self.out_ch, "conv2",
+                        kernel_init=nn.initializers.zeros)(x.astype(self.dtype))
+        ks, bs = _Conv1x1Params(self.out_ch, name="skip")(in_ch)
+        res, off = None, 0
+        for p in parts:
+            c = p.shape[-1]
+            ri = p.astype(self.dtype) @ ks[0, 0, off:off + c, :].astype(self.dtype)
+            res = ri if res is None else res + ri
+            off += c
+        h = res + bs.astype(res.dtype) + x
+        if self.use_context and context is not None:
+            h = ContextCrossAttention(
+                self.out_ch, self.context_dim, dtype=self.dtype, name="xattn"
+            )(h, context)
         return h
 
     def _fused_body(self, h, temb, context, in_ch):
@@ -509,6 +621,13 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
     flash_mid: bool = False  # bottleneck self-attention via the Pallas
     # blockwise-softmax kernel (no materialised [N,N] logits;
     # engine.flash_mid)
+    presum_dec: Any = False  # concat-free decoder j==0 blocks: the
+    # [h | skip | smm] concat is never materialised — GN stats combine
+    # per-part sums, conv1/skip split per input segment and sum (exact;
+    # engine.presum_dec, VERDICT r3 item 1a). Value "tailmat" additionally
+    # computes the thin smm tail segment as ONE im2col matmul — the conv
+    # emitter pads K to a 128-lane tile PER TAP, so the 16-channel tail
+    # otherwise costs 9 (6 shifted) nearly-empty MXU passes (r4 trace)
     gnfold_l0: bool = False  # packed GroupNorm group-fold via contiguous
     # reshape-reduce instead of the one-hot matmuls (exact;
     # engine.gnfold_l0)
@@ -636,6 +755,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         decomp=self.decomp_l0,
                         shift=self.shift_l0,
                         gn_fold="reshape" if self.gnfold_l0 else "matmul",
+                        tail_matmul=(self.presum_dec == "tailmat"),
                         dtype=self.dtype,
                         name=f"dec_{i}_{j}",
                     )
@@ -751,8 +871,15 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                     maps, type_idx.reshape(B, 1, 1, 1).astype(jnp.int32), axis=-1
                 )
                 scoremaps[i] = sup
-                skip = jnp.concatenate([skip, self.smm_fuse[smm_i](maps)], axis=-1)
-            h = jnp.concatenate([h, skip], axis=-1)
+                fused = self.smm_fuse[smm_i](maps)
+                if self.presum_dec:
+                    skip = (skip, fused)
+                else:
+                    skip = jnp.concatenate([skip, fused], axis=-1)
+            if self.presum_dec:
+                h = ((h,) + skip if isinstance(skip, tuple) else (h, skip))
+            else:
+                h = jnp.concatenate([h, skip], axis=-1)
             bi -= self.num_res_blocks + 1
             for j in range(self.num_res_blocks + 1):
                 h = self.dec_blocks[bi + j](h, temb, context)
@@ -896,8 +1023,18 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         xp = jnp.concatenate(
             [pk.pack_w(x_a.astype(dt)), pk.pack_w(x_b.astype(dt))], axis=-1)
         kin, bin_ = self.conv_in(self.in_nc)
-        h = pk.packed_conv3x3(xp, kin.astype(dt), bin_.astype(dt),
-                              segments=[1, 1])
+        if self.presum_dec == "tailmat":
+            # conv_in has 4 packed input channels: as a conv the emitter pads
+            # K to a 128-lane tile PER TAP (9 passes at 3% fill — measured
+            # 7% MXU efficiency in the r4 trace); as ONE im2col matmul it is
+            # a single K=36 pass. Exact.
+            kp = kin if kin.shape[-2] == 2 * self.in_nc else \
+                pk.pack_kernel3x3(kin, [1, 1])
+            h = (pk.conv3x3_tail_matmul(xp, kp.astype(dt))
+                 + jnp.tile(bin_.astype(dt), 2))
+        else:
+            h = pk.packed_conv3x3(xp, kin.astype(dt), bin_.astype(dt),
+                                  segments=[1, 1])
 
         skips = []
         bi = 0
@@ -944,18 +1081,23 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                     fused = pk.packed_conv1x1(
                         maps_p.astype(dt), kf.astype(dt), bf.astype(dt),
                         segments=[K])
-                    skip = jnp.concatenate([skip, fused], axis=-1)
+                    skip = ((skip, fused) if self.presum_dec
+                            else jnp.concatenate([skip, fused], axis=-1))
                 else:
                     maps = self.smms[smm_i](skip, te)
                     sup = jnp.take_along_axis(
                         maps, type_idx.reshape(B, 1, 1, 1).astype(jnp.int32),
                         axis=-1)
                     scoremaps[i] = sup
-                    skip = jnp.concatenate(
-                        [skip, self.smm_fuse[smm_i](maps)], axis=-1)
+                    fused = self.smm_fuse[smm_i](maps)
+                    skip = ((skip, fused) if self.presum_dec
+                            else jnp.concatenate([skip, fused], axis=-1))
             # at i == 0, h arrives packed from packed_up_conv; segments
             # follow the logical concat [h(nf), skip(nf), smm(score_map_chan)]
-            h = jnp.concatenate([h, skip], axis=-1)
+            if self.presum_dec:
+                h = ((h,) + skip if isinstance(skip, tuple) else (h, skip))
+            else:
+                h = jnp.concatenate([h, skip], axis=-1)
             bi -= self.num_res_blocks + 1
             for j in range(self.num_res_blocks + 1):
                 h = self.dec_blocks[bi + j](h, temb, context)

@@ -612,6 +612,143 @@ def _group_fold(colsum, colsq, n_el, G, eps, fold_mode="matmul"):
     return mean_c, rstd_c
 
 
+def gn_silu_packed_parts(parts, gamma, beta, num_groups,
+                         segments: Sequence[int], eps=1e-5, silu=True,
+                         fold_mode="matmul"):
+    """``gn_silu_packed`` over a CONCAT-FREE input: the decoder j==0 blocks'
+    [h | skip | smm] concat arrives as separate packed parts (one per
+    segment) and is never materialised (VERDICT r3 item 1a). Exact: group
+    statistics combine the per-part channel sums; returns normalised parts.
+    """
+    assert len(parts) == len(segments)
+    colsums, colsqs = [], []
+    for p, c in zip(parts, segments):
+        assert p.shape[-1] == 2 * c, (p.shape, c)
+        pf = p.astype(jnp.float32)
+        s = jnp.sum(pf, axis=(1, 2))       # [B, 2c]
+        q = jnp.sum(pf * pf, axis=(1, 2))
+        colsums.append(s[:, :c] + s[:, c:])
+        colsqs.append(q[:, :c] + q[:, c:])
+    colsum = jnp.concatenate(colsums, axis=-1)  # [B, total] (tiny)
+    colsq = jnp.concatenate(colsqs, axis=-1)
+    total = sum(segments)
+    G = num_groups
+    Cg = total // G
+    n_el = parts[0].shape[1] * parts[0].shape[2] * 2 * Cg
+    mean_c, rstd_c = _group_fold(colsum, colsq, n_el, G, eps, fold_mode)
+    scale_c = rstd_c * gamma.astype(jnp.float32)[None]
+    shift_c = beta.astype(jnp.float32)[None] - mean_c * scale_c
+    outs, off = [], 0
+    for p, c in zip(parts, segments):
+        sc = jnp.tile(scale_c[:, off:off + c], (1, 2))
+        sh = jnp.tile(shift_c[:, off:off + c], (1, 2))
+        o = p.astype(jnp.float32) * sc[:, None, None, :] + sh[:, None, None, :]
+        if silu:
+            o = o * jax.nn.sigmoid(o)
+        outs.append(o.astype(p.dtype))
+        off += c
+    return outs
+
+
+def conv3x3_tail_matmul(x, w):
+    """Thin-K 3x3 SAME conv as ONE im2col matmul.
+
+    The TPU conv emitter pads the contraction dim to a 128-lane K-tile PER
+    TAP, so a 16-channel tail segment costs 9 full MXU passes at 12.5% fill
+    (the r4 trace's 59-69% concat-conv efficiencies match this model
+    exactly). Stacking the 9 shifted views along channels gives K = 9*C
+    (e.g. 144 -> 2 passes). Exact: same taps, same summation."""
+    B, H, W_, C = x.shape
+    kh, kw = w.shape[0], w.shape[1]
+    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = [p[:, ky:ky + H, kx:kx + W_, :]
+            for ky in range(kh) for kx in range(kw)]
+    z = jnp.concatenate(cols, axis=-1)
+    return z @ w.reshape(kh * kw * C, w.shape[-1])
+
+
+def conv3x3_s2s_tail_matmul(xp, wp):
+    """Thin-K std->shift packed conv as ONE im2col matmul.
+
+    ``wp`` is an s2s-packed kernel slice [3,2,2c,2Co] (pack_kernel3x3_s2s
+    layout); output matches conv3x3_std_to_shift's [B,H,Wp+1,2Co] incl. the
+    two garbage pad half-columns (masked downstream by gn_silu_shifted)."""
+    B, H, Wp, C2 = xp.shape
+    p = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = [p[:, ky:ky + H, jj:jj + Wp + 1, :]
+            for ky in range(3) for jj in range(2)]
+    z = jnp.concatenate(cols, axis=-1)
+    return z @ wp.reshape(6 * C2, wp.shape[-1])
+
+
+def conv3x3_std_to_shift_parts(parts, w, segments: Sequence[int],
+                               tail_matmul: bool = False):
+    """Concat-free ``conv3x3_std_to_shift``: per-segment convs summed.
+
+    Exact — the s2s packed kernel's input-channel rows are segment-major
+    (rows [2*off, 2*off+2c) belong to segment (off, c)), so slicing it per
+    segment and summing the per-part convs reproduces the concat conv.
+    ``tail_matmul``: thin trailing segments (< 64 logical channels) go
+    through the im2col matmul instead of a per-tap-padded conv."""
+    wp = (w if w.ndim == 4 and w.shape[1] == 2
+          else pack_kernel3x3_s2s(w, list(segments)))
+    y, off = None, 0
+    for p, c in zip(parts, segments):
+        ws = wp[:, :, 2 * off:2 * off + 2 * c, :]
+        if tail_matmul and c < 64:
+            yi = conv3x3_s2s_tail_matmul(p, ws)
+        else:
+            dn = jax.lax.conv_dimension_numbers(p.shape, ws.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            yi = jax.lax.conv_general_dilated(p, ws, (1, 1), ((1, 1), (1, 1)),
+                                              dimension_numbers=dn)
+        y = yi if y is None else y + yi
+        off += c
+    return y
+
+
+def packed_conv3x3_parts(parts, w, b=None, segments: Sequence[int] | None = None,
+                         tail_matmul: bool = False):
+    """Concat-free ``packed_conv3x3`` (std->std): per-segment convs summed."""
+    segments = list(segments) if segments is not None else [
+        p.shape[-1] // 2 for p in parts]
+    # pre-packed std->std kernels are [3,3,2*total,2*Co] (vs raw [3,3,total,Co])
+    wp = (w if w.ndim == 4 and w.shape[2] == 2 * sum(segments)
+          else pack_kernel3x3(w, segments))
+    y, off = None, 0
+    for p, c in zip(parts, segments):
+        ws = wp[:, :, 2 * off:2 * off + 2 * c, :]
+        if tail_matmul and c < 64:
+            yi = conv3x3_tail_matmul(p, ws)
+        else:
+            dn = jax.lax.conv_dimension_numbers(p.shape, ws.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            yi = jax.lax.conv_general_dilated(p, ws, (1, 1), "SAME",
+                                              dimension_numbers=dn)
+        y = yi if y is None else y + yi
+        off += c
+    if b is not None:
+        y = y + jnp.tile(b, 2)
+    return y
+
+
+def packed_conv1x1_parts(parts, w, b=None, segments: Sequence[int] | None = None):
+    """Concat-free ``packed_conv1x1``: per-segment matmuls summed."""
+    segments = list(segments) if segments is not None else [
+        p.shape[-1] // 2 for p in parts]
+    total = sum(segments)
+    wp = (w if w.ndim == 2 and w.shape[0] == 2 * total
+          else pack_kernel1x1(w, segments))
+    y, off = None, 0
+    for p, c in zip(parts, segments):
+        yi = p @ wp[2 * off:2 * off + 2 * c]
+        y = yi if y is None else y + yi
+        off += c
+    if b is not None:
+        y = y + jnp.tile(b, 2)
+    return y
+
+
 def gn_silu_packed(xp, gamma, beta, num_groups, segments: Sequence[int],
                    eps=1e-5, silu=True, fold_mode="matmul"):
     """GroupNorm(+SiLU) on a packed tensor, exact per-channel statistics.

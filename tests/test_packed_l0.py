@@ -601,3 +601,78 @@ def test_sampler_heterogeneous_nets_fall_back_sequential():
                     "A_emb": jnp.zeros((2, 1, 16))},
                    jax.random.key(2), use_ema=False)
     assert out.shape == mu.shape and bool(jnp.isfinite(out).all())
+
+
+def test_unet_presum_dec_matches_standard():
+    """Full UNet cloned with presum_dec (concat-free decoder j==0 blocks,
+    VERDICT r3 item 1a) on the SAME params must match: unpacked, packed,
+    and packed+shift variants (exact by linearity of conv/1x1 in the input
+    segments; GN stats combine per-part sums)."""
+    from instancediff_tpu.models.unet import LearnableForwardUNetMultiScoreMap
+
+    net = LearnableForwardUNetMultiScoreMap(
+        in_nc=2, out_nc=5, nf=8, ch_mult=(1, 2), context_dim=16,
+        score_map_chan=4, score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, token_embed_dim=16, num_res_blocks=1)
+    B, H = 2, 32
+    x_a = jax.random.normal(jax.random.key(0), (B, H, H, 1))
+    x_b = jax.random.normal(jax.random.key(1), (B, H, H, 1))
+    t = jnp.array([3, 7], jnp.int32)
+    ty = jnp.array([0, 2], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (B, 1, 16)) * 0.1
+    text_embs = [jax.random.normal(jax.random.key(3 + i), (5, 16)) * 0.1
+                 for i in range(2)]
+    params = net.init(jax.random.key(9), x_a, x_b, t, ty,
+                      text_embs=text_embs, image_context=ctx)
+    ref, ref_sms = net.apply(params, x_a, x_b, t, ty,
+                             text_embs=text_embs, image_context=ctx)
+    for clone_kw in ({"presum_dec": True},
+                     {"presum_dec": "tailmat"},
+                     {"packed_l0": True, "presum_dec": True},
+                     {"packed_l0": True, "presum_dec": "tailmat"},
+                     {"packed_l0": True, "shift_l0": True,
+                      "presum_dec": True},
+                     {"packed_l0": True, "shift_l0": True,
+                      "presum_dec": "tailmat"}):
+        got, got_sms = net.clone(**clone_kw).apply(
+            params, x_a, x_b, t, ty, text_embs=text_embs, image_context=ctx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4, err_msg=str(clone_kw))
+        for a, b in zip(got_sms, ref_sms):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4,
+                                       err_msg=str(clone_kw))
+
+
+def test_presum_dec_with_prepacked_kernels():
+    """presum_dec must also be exact when prepack_params pre-transformed the
+    level-0 kernels (the sampler hoists kernel packing out of the scan): the
+    *_parts ops slice the PRE-PACKED kernels per segment."""
+    from instancediff_tpu.models.unet import LearnableForwardUNetMultiScoreMap
+
+    net = LearnableForwardUNetMultiScoreMap(
+        in_nc=2, out_nc=5, nf=8, ch_mult=(1, 2), context_dim=16,
+        score_map_chan=4, score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, token_embed_dim=16, num_res_blocks=1)
+    B, H = 2, 32
+    x_a = jax.random.normal(jax.random.key(0), (B, H, H, 1))
+    x_b = jax.random.normal(jax.random.key(1), (B, H, H, 1))
+    t = jnp.array([3, 7], jnp.int32)
+    ty = jnp.array([0, 2], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (B, 1, 16)) * 0.1
+    text_embs = [jax.random.normal(jax.random.key(3 + i), (5, 16)) * 0.1
+                 for i in range(2)]
+    params = net.init(jax.random.key(9), x_a, x_b, t, ty,
+                      text_embs=text_embs, image_context=ctx)
+    ref, _ = net.apply(params, x_a, x_b, t, ty,
+                       text_embs=text_embs, image_context=ctx)
+    for shift in (True, False):
+        for mode in (True, "tailmat"):
+            sampler = net.clone(packed_l0=True, shift_l0=shift,
+                                presum_dec=mode, tapsum_out=True)
+            pre = sampler.prepack_params(params)
+            got, _ = sampler.apply(pre, x_a, x_b, t, ty,
+                                   text_embs=text_embs, image_context=ctx)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4, rtol=1e-4,
+                                       err_msg=f"shift={shift} mode={mode}")

@@ -82,11 +82,34 @@ def main():
     lowered = fn.lower(eng.state["drift"], eng.state["noise"], eng.text_params,
                        mu, type_idx, a_emb, key, None)
     compiled = lowered.compile()
+    # XLA cost-analysis totals — the independently re-derivable roofline
+    # numerator (BASELINE.md "Hardware-normalized north-star position").
+    # NOTE: XLA counts the while-loop body ONCE; multiply the per-body flops
+    # by the step count for per-invocation totals.
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        print(f"cost_analysis: flops={flops:.4e} (scan body counted ONCE; "
+              f"x T for a T-step sampler), "
+              f"bytes_accessed={float(ca.get('bytes accessed', 0.0)):.4e}, "
+              f"config: res={args.res} batch={args.batch} steps={args.steps}")
+        print(f"per-sampler-step flops ~= {flops:.4e} (body-dominated); "
+              f"at v5e 197 TFLOP/s bf16 peak the 100%-MXU step is "
+              f"{flops / 197e12 * 1e3:.3f} ms")
+    except Exception as e:  # pragma: no cover
+        print(f"cost_analysis unavailable: {e!r}")
     txt = compiled.as_text()
     if args.dump:
         with open(args.dump, "w") as f:
             f.write(txt)
     items, total = parse_cost(txt, args.top)
+    if total == 0:
+        print("estimated_cycles not present in this HLO text (cache-loaded "
+              "executables may omit backend configs) — per-op table skipped; "
+              "use tools/profile_sampler.py device traces for attribution")
+        return
     print(f"total estimated cycles: {total:.3e}  (T={args.steps} scan; "
           f"per-step cost scales with scan trip count only for the body)")
     for (kind, name), cyc in items:

@@ -13,31 +13,61 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def top_ops(trace_dir, n=25):
+import re
+
+_LAYER_RE = re.compile(
+    r"(dec_\d+_\d+|enc_\d+_\d+|mid1|mid2|mid_attn|smm_\d+|smm_fuse_\d+"
+    r"|up_\d+|down_\d+|conv_in|conv_out|norm_out|threefry|temb)")
+
+
+def _device_leaf_events(trace_dir):
+    """Leaf XLA-op events on the TPU device track (pid named /device:TPU).
+    Wrapper rows (jit_sample / while) carry no ``tf_op`` metadata and are
+    skipped, so durations sum without double counting."""
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     assert paths, f"no trace under {trace_dir}"
     path = max(paths, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
         data = json.load(f)
+    device_pids = {ev["pid"] for ev in data["traceEvents"]
+                   if ev.get("ph") == "M" and ev.get("name") == "process_name"
+                   and "TPU" in (ev.get("args") or {}).get("name", "")}
+    for ev in data.get("traceEvents", []):
+        if (ev.get("ph") == "X" and ev.get("pid") in device_pids
+                and (ev.get("args") or {}).get("tf_op")):
+            yield ev
+
+
+def top_ops(trace_dir, n=30, steps=1):
+    """Aggregate device time three ways: by model layer (HLO metadata op
+    path), by HLO category, and the top leaf fusions — the r3/r4 perf
+    attribution channel (PERF.md: trust device-trace durations)."""
+    per_layer = defaultdict(float)
+    per_cat = defaultdict(float)
     per_op = defaultdict(float)
     total = 0.0
-    for ev in data.get("traceEvents", []):
-        if ev.get("ph") != "X":
-            continue
-        # TPU device lanes are pids whose names aren't python threads; use the
-        # op name heuristics: XLA ops carry 'dur' and land on device tracks
-        cat = ev.get("cat", "")
-        name = ev.get("name", "")
-        args = ev.get("args") or {}
-        if "run_id" in args or cat in ("tpu_op", "XLA Op", "xla_op") or args.get("group_id") is not None:
-            pass
-        dur = ev.get("dur", 0)
-        tid_name = ""
-        per_op[(cat, name.split(".")[0])] += dur
+    for ev in _device_leaf_events(trace_dir):
+        a = ev["args"]
+        dur = ev.get("dur", 0.0)
+        tf_op = a.get("tf_op", "")
+        m = _LAYER_RE.search(tf_op)
+        per_layer[m.group(1) if m else "(sde-step/misc)"] += dur
+        per_cat[a.get("hlo_category", "?")] += dur
+        per_op[(ev.get("name", ""), tf_op[:90])] += dur
         total += dur
-    items = sorted(per_op.items(), key=lambda kv: -kv[1])[:n]
-    return items, total
+    lines = [f"device leaf-op total: {total/1e3:.1f} ms "
+             f"({total/steps/1e3:.3f} ms/step)"]
+    lines.append("--- by layer (ms/step) ---")
+    for k, v in sorted(per_layer.items(), key=lambda kv: -kv[1]):
+        lines.append(f"{v/total*100:6.2f}%  {v/steps/1e3:8.4f}  {k}")
+    lines.append("--- by HLO category (ms/step) ---")
+    for k, v in sorted(per_cat.items(), key=lambda kv: -kv[1]):
+        lines.append(f"{v/total*100:6.2f}%  {v/steps/1e3:8.4f}  {k}")
+    lines.append(f"--- top {n} leaf ops (ms/step) ---")
+    for (name, tf_op), v in sorted(per_op.items(), key=lambda kv: -kv[1])[:n]:
+        lines.append(f"{v/total*100:6.2f}%  {v/steps/1e3:8.4f}  {name[:28]:28s} {tf_op}")
+    return lines
 
 
 def main():
@@ -87,10 +117,8 @@ def main():
     print(f"wall: {wall*1000:.1f} ms for {args.steps} steps batch {args.batch} "
           f"= {wall/args.steps/args.batch*1000:.2f} ms/step/img")
 
-    items, total = top_ops(args.out)
-    print(f"total traced op-us: {total:.0f}")
-    for (cat, name), dur in items:
-        print(f"{dur/total*100:5.1f}%  {dur:>10.0f}us  [{cat}] {name}")
+    for line in top_ops(args.out, steps=args.steps):
+        print(line)
 
 
 if __name__ == "__main__":
