@@ -872,11 +872,11 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                 )
                 scoremaps[i] = sup
                 fused = self.smm_fuse[smm_i](maps)
-                if self.presum_dec:
+                if self.presum_dec and self.presum_dec != "inmat":
                     skip = (skip, fused)
                 else:
                     skip = jnp.concatenate([skip, fused], axis=-1)
-            if self.presum_dec:
+            if self.presum_dec and self.presum_dec != "inmat":
                 h = ((h,) + skip if isinstance(skip, tuple) else (h, skip))
             else:
                 h = jnp.concatenate([h, skip], axis=-1)
@@ -1023,7 +1023,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
         xp = jnp.concatenate(
             [pk.pack_w(x_a.astype(dt)), pk.pack_w(x_b.astype(dt))], axis=-1)
         kin, bin_ = self.conv_in(self.in_nc)
-        if self.presum_dec == "tailmat":
+        if self.presum_dec in ("tailmat", "inmat"):
             # conv_in has 4 packed input channels: as a conv the emitter pads
             # K to a 128-lane tile PER TAP (9 passes at 3% fill — measured
             # 7% MXU efficiency in the r4 trace); as ONE im2col matmul it is
@@ -1081,7 +1081,8 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                     fused = pk.packed_conv1x1(
                         maps_p.astype(dt), kf.astype(dt), bf.astype(dt),
                         segments=[K])
-                    skip = ((skip, fused) if self.presum_dec
+                    skip = ((skip, fused)
+                            if self.presum_dec and self.presum_dec != "inmat"
                             else jnp.concatenate([skip, fused], axis=-1))
                 else:
                     maps = self.smms[smm_i](skip, te)
@@ -1090,11 +1091,12 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         axis=-1)
                     scoremaps[i] = sup
                     fused = self.smm_fuse[smm_i](maps)
-                    skip = ((skip, fused) if self.presum_dec
+                    skip = ((skip, fused)
+                            if self.presum_dec and self.presum_dec != "inmat"
                             else jnp.concatenate([skip, fused], axis=-1))
             # at i == 0, h arrives packed from packed_up_conv; segments
             # follow the logical concat [h(nf), skip(nf), smm(score_map_chan)]
-            if self.presum_dec:
+            if self.presum_dec and self.presum_dec != "inmat":
                 h = ((h,) + skip if isinstance(skip, tuple) else (h, skip))
             else:
                 h = jnp.concatenate([h, skip], axis=-1)

@@ -633,7 +633,11 @@ def test_unet_presum_dec_matches_standard():
                      {"packed_l0": True, "shift_l0": True,
                       "presum_dec": True},
                      {"packed_l0": True, "shift_l0": True,
-                      "presum_dec": "tailmat"}):
+                      "presum_dec": "tailmat"},
+                     # "inmat": ONLY conv_in goes through the im2col matmul;
+                     # decoder blocks keep the stock concat path
+                     {"packed_l0": True, "shift_l0": True,
+                      "presum_dec": "inmat"}):
         got, got_sms = net.clone(**clone_kw).apply(
             params, x_a, x_b, t, ty, text_embs=text_embs, image_context=ctx)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
