@@ -158,11 +158,13 @@ class PostLNBertLayer(nn.Module):
       x = LayerNorm(x + out_proj(attn(x)))     # attention.output.LayerNorm
       x = LayerNorm(x + proj(gelu(fc(x))))     # output.LayerNorm
 
-    eps=1e-12 (HF BertConfig default), exact erf GELU, fp32 softmax."""
+    eps=1e-12 (HF BertConfig default; roberta-family configs default to
+    1e-5 — set ``ln_eps``), exact erf GELU, fp32 softmax."""
 
     width: int
     heads: int
     mlp_ratio: float = 4.0
+    ln_eps: float = 1e-12
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -172,11 +174,11 @@ class PostLNBertLayer(nn.Module):
         v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(x)
         attn = multi_head_attention(q, k, v, self.heads, mask=mask)
         h = nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn)
-        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="attn_ln")(x + h)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="attn_ln")(x + h)
         h = nn.Dense(int(self.width * self.mlp_ratio), dtype=self.dtype, name="fc")(x)
         h = exact_gelu(h)
         h = nn.Dense(self.width, dtype=self.dtype, name="proj")(h)
-        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ffn_ln")(x + h)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="ffn_ln")(x + h)
         return x
 
 
@@ -232,6 +234,13 @@ class HFContextTextEncoder(nn.Module):
     proj_dim: int = 512
     max_position: int = 512
     pooler_type: str = "cls_last_hidden_state_pooler"  # POOLERS key
+    # Roberta-family embeddings offset positions by padding_idx+1 (HF
+    # create_position_ids_from_input_ids): valid token i reads pos row
+    # i + position_offset (2 for roberta/xlm-roberta; see hf_configs.py).
+    # Exact for unpadded/right-padded input — pad rows are attention-masked
+    # and pooler-masked, so their (clamped) position rows never contribute.
+    position_offset: int = 0
+    ln_eps: float = 1e-12  # 1e-5 for roberta-family configs
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -263,14 +272,17 @@ class HFContextTextEncoder(nn.Module):
         ttype = self.param(
             "token_type_embeddings", nn.initializers.normal(0.02), (2, self.hidden)
         )
-        x = x + pos[None, : x.shape[1]].astype(x.dtype) + ttype[0][None, None].astype(x.dtype)
-        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="embeddings_ln")(x)
+        off = min(self.position_offset, self.max_position - x.shape[1])
+        x = (x + pos[None, off: off + x.shape[1]].astype(x.dtype)
+             + ttype[0][None, None].astype(x.dtype))
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="embeddings_ln")(x)
 
         # additive mask: [K, 1(q), L(k)] broadcast over heads
         add_mask = jnp.where(mask[:, None, :] > 0, 0.0, -jnp.inf)
         for i in range(self.layers):
             x = PostLNBertLayer(
-                self.hidden, self.heads, dtype=self.dtype, name=f"layer_{i}"
+                self.hidden, self.heads, ln_eps=self.ln_eps,
+                dtype=self.dtype, name=f"layer_{i}"
             )(x, mask=add_mask)
         cls = POOLERS[self.pooler_type](x, mask)  # default: CLS last hidden
         # state (:934-940); mean/max variants via pooler_type
@@ -344,7 +356,12 @@ def load_torch_bert_weights(params, checkpoint_path_or_sd, prefix="text."):
         inner["position_embeddings"] = to_np(pos)
     tt = get(P + "embeddings.token_type_embeddings.weight")
     if tt is not None:
-        inner["token_type_embeddings"] = to_np(tt)
+        tt = to_np(tt)
+        want = inner["token_type_embeddings"].shape[0]
+        if tt.shape[0] < want:  # roberta ships a single type row
+            tt = jnp.concatenate(
+                [tt, jnp.zeros((want - tt.shape[0], tt.shape[1]), tt.dtype)])
+        inner["token_type_embeddings"] = tt
     ln = get(P + "embeddings.LayerNorm.weight")
     if ln is not None:
         inner["embeddings_ln"]["scale"] = to_np(ln)
