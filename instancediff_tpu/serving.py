@@ -6,6 +6,13 @@ a checkpoint + jitted sampler specialised to a fixed batch shape; ragged
 request sizes are padded to the compiled batch so every request hits the
 same executable (no recompiles in steady state).
 
+Keep ``batch_size`` >= 8 on TPU even for single-image traffic: activation
+layouts put batch in the 8-deep sublane dim (B < 8 wastes the difference on
+every memory pass) and XLA space-to-batch-rewrites small-batch convs into
+catastrophically slow patch shuffles at >=512px — measured 0.19 img/s at
+512px batch 2 vs 0.65 at batch 8 (PERF.md round 4), i.e. padding one image
+to batch 8 returns the answer ~3.4x sooner than a batch-2 graph.
+
 Usage:
     r = Restorer.from_config("Configurations/config.yml",
                              pth_dir="experiments/x/models", iteration="latest")
