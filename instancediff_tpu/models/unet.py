@@ -627,7 +627,13 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
     # engine.presum_dec, VERDICT r3 item 1a). Value "tailmat" additionally
     # computes the thin smm tail segment as ONE im2col matmul — the conv
     # emitter pads K to a 128-lane tile PER TAP, so the 16-channel tail
-    # otherwise costs 9 (6 shifted) nearly-empty MXU passes (r4 trace)
+    # otherwise costs 9 (6 shifted) nearly-empty MXU passes (r4 trace).
+    # Value "smmtail" = the same thin-tail im2col WITHOUT the conv_in
+    # im2col that "tailmat" also applies (conv_in's conv form keeps its
+    # GN-stat fusion, which the matmul form broke at −22%). Measured
+    # −4.7% end-to-end — the tail z-tensor's HBM amplification loses even
+    # with conv_in's fusion intact (PERF.md r4); all presum_dec values
+    # stay opt-in documentation of measured dead ends
     gnfold_l0: bool = False  # packed GroupNorm group-fold via contiguous
     # reshape-reduce instead of the one-hot matmuls (exact;
     # engine.gnfold_l0)
@@ -755,7 +761,7 @@ class LearnableForwardUNetMultiScoreMap(nn.Module):
                         decomp=self.decomp_l0,
                         shift=self.shift_l0,
                         gn_fold="reshape" if self.gnfold_l0 else "matmul",
-                        tail_matmul=(self.presum_dec == "tailmat"),
+                        tail_matmul=(self.presum_dec in ("tailmat", "smmtail")),
                         dtype=self.dtype,
                         name=f"dec_{i}_{j}",
                     )

@@ -634,6 +634,10 @@ def test_unet_presum_dec_matches_standard():
                       "presum_dec": True},
                      {"packed_l0": True, "shift_l0": True,
                       "presum_dec": "tailmat"},
+                     # "smmtail": tailmat's thin-tail im2col WITHOUT the
+                     # conv_in im2col (conv_in keeps its fused conv form)
+                     {"packed_l0": True, "shift_l0": True,
+                      "presum_dec": "smmtail"},
                      # "inmat": ONLY conv_in goes through the im2col matmul;
                      # decoder blocks keep the stock concat path
                      {"packed_l0": True, "shift_l0": True,
@@ -671,7 +675,7 @@ def test_presum_dec_with_prepacked_kernels():
     ref, _ = net.apply(params, x_a, x_b, t, ty,
                        text_embs=text_embs, image_context=ctx)
     for shift in (True, False):
-        for mode in (True, "tailmat"):
+        for mode in (True, "tailmat", "smmtail"):
             sampler = net.clone(packed_l0=True, shift_l0=shift,
                                 presum_dec=mode, tapsum_out=True)
             pre = sampler.prepack_params(params)
