@@ -183,3 +183,30 @@ def test_make_adam_matches_torch_adam_golden():
 
     np.testing.assert_allclose(np.asarray(params["w"]),
                                pt.detach().numpy(), atol=2e-6, rtol=1e-5)
+
+
+def test_bf16_training_descends_and_keeps_fp32_masters():
+    """Mixed-precision training gate (PERF.md round-4 bf16 study): a
+    bf16-compute engine must (a) reduce the loss like the fp32 one, (b)
+    keep every param/opt-state/EMA leaf in fp32 (master weights), and (c)
+    sample finite images from the trained state."""
+    eng = CLIPDriftEngine(
+        dnet_settings=TINY, nnet_settings=TINY,
+        score_map_ch_mult=(1, 1), score_map_ngf=8,
+        use_image_context=True, CLIP_Type="CLIP", tiny_text_encoder=True,
+        sde=DriftSDE(T=8, max_sigma=0.4), image_size=8, nepoch=4,
+        drift_net_lr=1e-3, noise_net_lr=1e-3, seed=0, dtype=jnp.bfloat16,
+    )
+    k = jax.random.key(0)
+    x0 = jax.random.uniform(k, (2, 8, 8, 1)) * 2 - 1
+    mu = x0 + 0.3 * jax.random.normal(jax.random.key(1), x0.shape)
+    batch = {"input": mu, "target": x0, "type_idx": jnp.array([0, 4]),
+             "A_emb": jnp.zeros((2, 1, 16))}
+    losses = [eng.optimize_parameters(batch, jax.random.key(20 + i))
+              for i in range(8)]
+    assert losses[-1] < losses[0]
+    for tree in (eng.state["drift"], eng.state["noise"],
+                 eng.state["d_ema"], eng.state["n_ema"]):
+        assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(tree))
+    out = eng.test(batch, jax.random.key(9), use_ema=True)
+    assert bool(jnp.all(jnp.isfinite(out)))
