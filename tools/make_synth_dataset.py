@@ -13,6 +13,14 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Dataset synthesis never needs the accelerator, and on this box eager jax
+# ops outside an explicit default_device scope dispatch to the remote axon
+# TPU tunnel (jax.random.key in data.synthetic.degrade), which can hang on
+# the remote queue. Pin the whole process to CPU before jax initialises.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from instancediff_tpu.data.synthetic import write_synthetic_index  # noqa: E402
 
 
