@@ -24,7 +24,11 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # One batched device->host gather: jax.device_get starts ALL leaf copies
+    # asynchronously before blocking. Per-leaf np.asarray was a sequential
+    # blocking round-trip per leaf (measured ~6 min per flagship save on the
+    # tunneled v5e — the symmetric load-side fix lives in load_bundle).
+    return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
 def save_pytree(tree: Any, path: str):
