@@ -24,9 +24,21 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 A100_BASELINE_IMG_PER_SEC = 0.5  # central estimate; derivation in BASELINE.md
+
+_T0 = time.time()
+
+
+def _hb(phase: str) -> None:
+    """Stderr heartbeat per phase: a timed-out run's tail then names the
+    phase that ate the budget (VERDICT r4: BENCH_r04 rc=124 carried zero
+    forensic value — the remote axon compile queue can take 15-25+ min on
+    bad days and the default tail showed only the plugin warning)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {phase}", file=sys.stderr,
+          flush=True)
 
 # bf16 peak TFLOP/s by TPU device kind, for the MFU field (public specs).
 # The north-star chip (BASELINE.json) is v5p; this box benches on v5e —
@@ -118,6 +130,7 @@ def main():
         # JAX_PLATFORMS env var, CLAUDE.md) so --tiny never touches the chip
         jax.config.update("jax_platforms", "cpu")
     _setup_jax_cache()
+    _hb("building engine (jitted text/net inits — remote compile queue)")
     import jax.numpy as jnp
 
     from instancediff_tpu.models.drift_model import CLIPDriftEngine
@@ -175,6 +188,7 @@ def main():
                              f"valid: {sorted(ENGINE_KNOBS)}")
         setattr(eng, name, int(val) if val.lstrip("-").isdigit() else val)
 
+    _hb("engine ready; preparing params")
     sample = jax.jit(eng.build_sample_fn())
     if args.ckpt_dir:
         eng.load(args.ckpt_dir, args.ckpt_iter, load_ema=True)
@@ -190,11 +204,14 @@ def main():
     tower_params = eng.image_tower_params
 
     # AOT compile (keeps a handle for XLA's cost analysis) + warmup
+    _hb("sampler AOT compile (the big graph; minutes cold, seconds warm)")
     compiled = sample.lower(dparams, nparams, eng.text_params, mu, type_idx,
                             a_emb, key, tower_params).compile()
+    _hb("sampler compiled; warmup run")
     out = sample(dparams, nparams, eng.text_params, mu, type_idx, a_emb, key,
                  tower_params)
     jax.block_until_ready(out)
+    _hb("warmup done; timing")
 
     times = []
     for r in range(args.repeats):
@@ -249,7 +266,9 @@ if __name__ == "__main__":
     import sys
 
     if "--tiny" not in sys.argv:
+        _hb("probing TPU backend")
         _wait_for_backend()
+        _hb("backend up")
     try:
         main()
     except Exception as e:  # transient chip/tunnel outages: clean re-exec

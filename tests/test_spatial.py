@@ -47,6 +47,7 @@ def test_spatial_sharded_sampling_matches_single_device(sampler_engine):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_spatial_256px_8way_equality():
     """The large-image path the feature exists for (VERDICT r3 item 7):
     8-way H sharding at 256px must equal single-device sampling bit-for-bit
