@@ -28,6 +28,51 @@ from .clip_vit import CLIPVisionTower, load_torch_clip_vision_weights
 from .text_encoder import HFContextTextEncoder, CLIPTextContextEncoder
 from .tokenizer import BertWordPieceTokenizer, ClipBPETokenizer
 
+PRECISIONS = ("fp32", "fp16", "bf16", "pure_fp16", "pure_bf16")
+
+
+def get_cast_dtype(precision: str):
+    """Weight/compute cast dtype for a precision string (reference
+    model.py:86-92 ``get_cast_dtype``: 'bf16'->bfloat16, 'fp16'->float16,
+    else None). 'pure_*' returns None here, as upstream — the pure variants
+    cast via ``get_input_dtype``/full-model cast instead."""
+    if precision == "bf16":
+        return jnp.bfloat16
+    if precision == "fp16":
+        return jnp.float16
+    return None
+
+
+def get_input_dtype(precision: str):
+    """Input-pixel dtype for a precision string (reference model.py:95-101
+    ``get_input_dtype``: bf16/pure_bf16 -> bfloat16, fp16/pure_fp16 ->
+    float16, else None = keep fp32)."""
+    if precision in ("bf16", "pure_bf16"):
+        return jnp.bfloat16
+    if precision in ("fp16", "pure_fp16"):
+        return jnp.float16
+    return None
+
+
+def _precision_dtypes(precision):
+    """(compute_dtype, param_cast_dtype, input_dtype) for the five reference
+    precision strings (__init__.py:156-179 casting semantics, translated):
+      fp32       -> fp32 everywhere;
+      fp16/bf16  -> low-precision compute with fp32 master params — the JAX
+                    analogue of upstream's cast-weights-except-LayerNormFp32
+                    (our towers' ``dtype`` arg already keeps norm statistics
+                    in fp32 islands; params stay fp32, entering the MXU as
+                    bf16, the measured-parity TPU recipe, PERF.md);
+      pure_*     -> params ALSO cast (model.to(dtype) upstream)."""
+    if precision is None or precision == "fp32":
+        return jnp.float32, None, None
+    if precision not in PRECISIONS:
+        raise ValueError(
+            f"unknown precision {precision!r}; choose from {PRECISIONS}")
+    low = jnp.bfloat16 if "bf16" in precision else jnp.float16
+    cast_params = low if precision.startswith("pure_") else None
+    return low, cast_params, get_input_dtype(precision)
+
 
 class BiomedCLIP:
     """Contrastive wrapper: ``encode_image(imgs) -> [B,E]``,
@@ -36,9 +81,16 @@ class BiomedCLIP:
     def __init__(self, clip_type="BiomedCLIP", embed_dim=512, seed=0,
                  vocab_path=None, checkpoint_path=None, tiny=False,
                  dtype=jnp.float32, vision_tower="vit",
-                 rn_layers=(3, 4, 6, 3), rn_width=64):
+                 rn_layers=(3, 4, 6, 3), rn_width=64, precision=None):
         self.clip_type = clip_type
         self.embed_dim = embed_dim
+        # precision strings ('fp16'/'bf16'/'pure_*') override the raw dtype
+        # arg — the loadable-by-string surface of the vendored
+        # create_model_from_pretrained (model.py:86-101, __init__.py:156-179)
+        self.precision = precision or "fp32"
+        compute_dtype, param_cast, self.input_dtype = _precision_dtypes(precision)
+        if precision is not None:
+            dtype = compute_dtype
         key = jax.random.key(seed)
         kv, kt = jax.random.split(key)
 
@@ -106,13 +158,25 @@ class BiomedCLIP:
         if checkpoint_path:
             self.visual_params = load_torch_clip_vision_weights(
                 self.visual_params, checkpoint_path)
+        if param_cast is not None:
+            # 'pure_fp16'/'pure_bf16': the whole model lives in the low
+            # precision (upstream model.to(device, dtype),
+            # __init__.py:176-179) — cast AFTER any checkpoint load
+            cast = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: x.astype(param_cast)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            self.visual_params = cast(self.visual_params)
+            self.text_params = cast(self.text_params)
 
         self._encode_image = jax.jit(
             lambda p, x: self.visual.apply(p, x))
 
     def encode_image(self, images, normalize=True):
         """images: [B,H,W,1|3] in [-1,1] -> [B, embed_dim]."""
-        emb = self._encode_image(self.visual_params, jnp.asarray(images))
+        images = jnp.asarray(images)
+        if self.input_dtype is not None:  # get_input_dtype semantics
+            images = images.astype(self.input_dtype)
+        emb = self._encode_image(self.visual_params, images)
         if normalize:
             emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-8)
         return emb
@@ -137,13 +201,17 @@ class BiomedCLIP:
         return scale * ie @ te.T
 
 
-def get_BiomedCLIP(vocab_path=None, checkpoint_path=None, tiny=False, seed=0):
+def get_BiomedCLIP(vocab_path=None, checkpoint_path=None, tiny=False, seed=0,
+                   precision=None):
     """Convenience loader (models/BiomedCLIP/__init__.py:7-19 analogue).
-    Defaults the vocab to the reference's local asset when present."""
+    Defaults the vocab to the reference's local asset when present.
+    ``precision`` accepts the reference's loadable strings
+    ('fp32'/'fp16'/'bf16'/'pure_fp16'/'pure_bf16', model.py:86-101)."""
     import os
 
     if vocab_path is None:
         cand = "/root/reference/models/BiomedCLIP/vocab.txt"
         vocab_path = cand if os.path.isfile(cand) else None
     return BiomedCLIP(clip_type="BiomedCLIP", vocab_path=vocab_path,
-                      checkpoint_path=checkpoint_path, tiny=tiny, seed=seed)
+                      checkpoint_path=checkpoint_path, tiny=tiny, seed=seed,
+                      precision=precision)

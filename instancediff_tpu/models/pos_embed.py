@@ -71,3 +71,29 @@ def interpolate_pos_embed(pos, target_len: int, n_prefix: int = 1):
     grid = jax.image.resize(grid, (g_new, g_new, grid.shape[-1]),
                             method="cubic")
     return jnp.concatenate([prefix, grid.reshape(g_new * g_new, -1)], axis=0)
+
+
+def resize_text_pos_embed(pos, target_len: int):
+    """Resample a TEXT position table [L, D] -> [target_len, D] by 1D linear
+    interpolation — the analogue of the vendored ``resize_text_pos_embed``
+    (reference model.py:541-570: ``F.interpolate(mode='linear',
+    align_corners=False)`` over the position axis; width must be unchanged,
+    equal lengths are a no-op). ``jax.image.resize(method='linear')`` uses
+    the same half-pixel-center convention as torch's align_corners=False,
+    so values match the reference op."""
+    pos = jnp.asarray(pos)
+    if pos.ndim != 2:
+        raise ValueError(f"text pos table must be [L, D], got {pos.shape}")
+    L = pos.shape[0]
+    target_len = int(target_len)
+    if L == target_len:
+        return pos
+    # torch's non-antialiased linear resize: sample at half-pixel centers and
+    # lerp the two nearest rows (jax.image.resize antialiases on downscale,
+    # which torch's antialias=False does not)
+    x = (jnp.arange(target_len, dtype=jnp.float32) + 0.5) * (L / target_len) - 0.5
+    x = jnp.clip(x, 0.0, L - 1)
+    lo = jnp.floor(x).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, L - 1)
+    w = (x - lo)[:, None].astype(pos.dtype)
+    return pos[lo] * (1 - w) + pos[hi] * w

@@ -353,7 +353,15 @@ def load_torch_bert_weights(params, checkpoint_path_or_sd, prefix="text."):
         inner["word_embeddings"]["embedding"] = to_np(emb)
     pos = get(P + "embeddings.position_embeddings.weight")
     if pos is not None:
-        inner["position_embeddings"] = to_np(pos)
+        pos = to_np(pos)
+        want = inner["position_embeddings"].shape[0]
+        if pos.shape[0] != want:
+            # cross-max_position load: same 1D linear resample as the CLIP
+            # text table (resize_text_pos_embed analogue, model.py:541-570)
+            from .pos_embed import resize_text_pos_embed
+
+            pos = resize_text_pos_embed(pos, want)
+        inner["position_embeddings"] = pos
     tt = get(P + "embeddings.token_type_embeddings.weight")
     if tt is not None:
         tt = to_np(tt)
@@ -401,7 +409,8 @@ def load_torch_bert_weights(params, checkpoint_path_or_sd, prefix="text."):
     return new
 
 
-def load_torch_clip_text_weights(params, checkpoint_path_or_sd):
+def load_torch_clip_text_weights(params, checkpoint_path_or_sd,
+                                 pos_embed_mode="auto"):
     """Convert an OpenAI/open_clip CLIP checkpoint's text tower into the
     CLIPTextContextEncoder param tree.
 
@@ -412,7 +421,16 @@ def load_torch_clip_text_weights(params, checkpoint_path_or_sd):
     context_length), ``ln_final*`` and ``text_projection``, and loads them
     non-strictly. This converter performs the same selection/truncation onto
     the flax tree. Accepts a path (torch.jit archive or plain state dict) or
-    an in-memory dict (for tests). Returns the updated tree."""
+    an in-memory dict (for tests). Returns the updated tree.
+
+    ``pos_embed_mode`` handles a checkpoint whose context_length differs
+    from the model's:
+      * ``"auto"`` (default): truncate when the checkpoint is longer (the
+        active path's :841-843 semantics), linear-resample when shorter
+        (truncation cannot apply);
+      * ``"interpolate"``: always linear-resample — the vendored loader's
+        ``resize_text_pos_embed`` (reference model.py:541-570) exactly
+        (1D ``F.interpolate(mode='linear', align_corners=False)``)."""
     import os
 
     if isinstance(checkpoint_path_or_sd, (str, os.PathLike)):
@@ -441,9 +459,19 @@ def load_torch_clip_text_weights(params, checkpoint_path_or_sd):
     if "token_embedding.weight" in sd:
         inner["token_embedding"]["embedding"] = to_np(sd["token_embedding.weight"])
     if "positional_embedding" in sd:
+        from .pos_embed import resize_text_pos_embed
+
         pos = to_np(sd["positional_embedding"])
         L = inner["positional_embedding"].shape[0]
-        inner["positional_embedding"] = pos[:L]  # 77 -> context_length (:841-843)
+        if pos.shape[1] != inner["positional_embedding"].shape[1]:
+            raise ValueError("text pos_embed width changed!")  # model.py:554
+        if pos_embed_mode == "auto" and pos.shape[0] >= L:
+            inner["positional_embedding"] = pos[:L]  # 77 -> ctx_len (:841-843)
+        else:
+            # cross-length load: linear-resample the table (the vendored
+            # loader's resize_text_pos_embed, reference model.py:541-570;
+            # no-op at equal lengths)
+            inner["positional_embedding"] = resize_text_pos_embed(pos, L)
     if "ln_final.weight" in sd:
         inner["ln_final"]["scale"] = to_np(sd["ln_final.weight"])
         inner["ln_final"]["bias"] = to_np(sd["ln_final.bias"])

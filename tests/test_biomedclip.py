@@ -85,3 +85,63 @@ def test_bert_weight_conversion_mapping():
     # untouched leaves remain valid and the tower still runs
     out = te.apply(new, ids, None, None)
     assert out.shape == (1, 8)
+
+
+# ---------------------------------------------------------------------- #
+# precision strings (reference model.py:86-101, __init__.py:156-179)      #
+# ---------------------------------------------------------------------- #
+
+def test_get_cast_and_input_dtype_mappings():
+    from instancediff_tpu.models.biomedclip import (get_cast_dtype,
+                                                    get_input_dtype)
+
+    assert get_cast_dtype("bf16") == jnp.bfloat16
+    assert get_cast_dtype("fp16") == jnp.float16
+    assert get_cast_dtype("fp32") is None
+    assert get_cast_dtype("pure_bf16") is None  # model.py:86-92 exactly
+    assert get_input_dtype("bf16") == jnp.bfloat16
+    assert get_input_dtype("pure_bf16") == jnp.bfloat16
+    assert get_input_dtype("fp16") == jnp.float16
+    assert get_input_dtype("pure_fp16") == jnp.float16
+    assert get_input_dtype("fp32") is None
+
+
+def _leaf_dtypes(tree):
+    import jax
+
+    return {x.dtype for x in jax.tree.leaves(tree)
+            if jnp.issubdtype(x.dtype, jnp.floating)}
+
+
+def test_precision_bf16_keeps_fp32_master_params():
+    """'bf16' = low-precision compute with fp32 master weights (the JAX
+    analogue of upstream's cast-all-but-LayerNormFp32, __init__.py:156-172)."""
+    m = BiomedCLIP(clip_type="BiomedCLIP", embed_dim=16, tiny=True, seed=0,
+                   precision="bf16")
+    assert _leaf_dtypes(m.visual_params) == {jnp.dtype(jnp.float32)}
+    imgs = np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32)
+    emb = m.encode_image(imgs)
+    assert emb.shape == (2, 16) and np.isfinite(np.asarray(emb)).all()
+
+
+def test_precision_pure_bf16_casts_params():
+    """'pure_bf16' = the whole model in bf16 (model.to(dtype),
+    __init__.py:176-179)."""
+    m = BiomedCLIP(clip_type="BiomedCLIP", embed_dim=16, tiny=True, seed=0,
+                   precision="pure_bf16")
+    assert _leaf_dtypes(m.visual_params) == {jnp.dtype(jnp.bfloat16)}
+    assert _leaf_dtypes(m.text_params) == {jnp.dtype(jnp.bfloat16)}
+    emb = m.encode_text(["speckle in OCT"])
+    assert np.isfinite(np.asarray(emb, dtype=np.float32)).all()
+
+
+def test_precision_roundtrips_through_get_biomedclip():
+    m = get_BiomedCLIP(tiny=True, precision="bf16")
+    assert m.precision == "bf16"
+    emb = m.encode_text(["noise in low dose CT"])
+    assert emb.shape == (1, 512)
+
+
+def test_unknown_precision_rejected():
+    with pytest.raises(ValueError, match="precision"):
+        BiomedCLIP(tiny=True, embed_dim=16, precision="fp8")

@@ -105,3 +105,87 @@ def test_sincos_tower_forward():
         table, get_2d_sincos_pos_embed(32, 4, cls_token=True), atol=1e-6)
     out = jax.jit(tower.apply)(params, jnp.zeros((2, 32, 32, 1)))
     assert out.shape == (2, 16) and np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------- #
+# text positional-table resize (reference model.py:541-570)               #
+# ---------------------------------------------------------------------- #
+
+from instancediff_tpu.models.pos_embed import resize_text_pos_embed  # noqa: E402
+
+
+def test_resize_text_pos_embed_torch_golden():
+    """Matches the vendored ``resize_text_pos_embed``'s op exactly:
+    F.interpolate(mode='linear', antialias=False, align_corners=False) over
+    the position axis (reference model.py:557-566), up AND down."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    for L, Lp in [(77, 42), (42, 77), (256, 100), (16, 3), (100, 256)]:
+        x = rng.normal(size=(L, 64)).astype(np.float32)
+        t = torch.from_numpy(x).reshape(1, L, 64).permute(0, 2, 1)
+        ref = F.interpolate(t, size=Lp, mode="linear", antialias=False,
+                            align_corners=False).permute(0, 2, 1)[0].numpy()
+        got = np.asarray(resize_text_pos_embed(x, Lp))
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+    # equal length: identity (model.py:555-556)
+    x = rng.normal(size=(10, 8)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(resize_text_pos_embed(x, 10)), x)
+
+
+def test_clip_text_converter_cross_length_load():
+    """A checkpoint with context_length != the model's loads cross-length:
+    longer -> truncated (active-path parity, _modified_BiomedCLIP.py:841-843),
+    shorter -> linear-resampled; pos_embed_mode='interpolate' always
+    resamples (model.py:541-570). Width mismatch raises (model.py:554)."""
+    from instancediff_tpu.models.text_encoder import (
+        CLIPTextContextEncoder, load_torch_clip_text_weights)
+
+    te = CLIPTextContextEncoder(context_length=12, vocab_size=64, width=16,
+                                heads=2, layers=1, embed_dim=16)
+    params = te.init(jax.random.key(0), jnp.zeros((1, 12), jnp.int32), None)
+    rng = np.random.default_rng(1)
+
+    longer = rng.normal(size=(20, 16)).astype(np.float32)
+    out = load_torch_clip_text_weights(params, {"positional_embedding": longer})
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["positional_embedding"]), longer[:12],
+        atol=0)
+
+    out = load_torch_clip_text_weights(
+        params, {"positional_embedding": longer}, pos_embed_mode="interpolate")
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["positional_embedding"]),
+        np.asarray(resize_text_pos_embed(longer, 12)), atol=0)
+
+    shorter = rng.normal(size=(7, 16)).astype(np.float32)
+    out = load_torch_clip_text_weights(params, {"positional_embedding": shorter})
+    got = np.asarray(out["params"]["positional_embedding"])
+    assert got.shape == (12, 16)
+    np.testing.assert_allclose(
+        got, np.asarray(resize_text_pos_embed(shorter, 12)), atol=0)
+
+    with pytest.raises(ValueError, match="width"):
+        load_torch_clip_text_weights(
+            params, {"positional_embedding": rng.normal(size=(20, 8))})
+
+
+def test_bert_converter_cross_maxpos_load():
+    """The BERT tower's learned position table resamples the same way when a
+    checkpoint's max_position differs."""
+    from instancediff_tpu.models.text_encoder import (
+        HFContextTextEncoder, load_torch_bert_weights)
+
+    te = HFContextTextEncoder(hidden=16, heads=2, layers=1, proj_dim=16,
+                              vocab_size=64, context_length=12, max_position=24)
+    ids = jnp.zeros((1, 12), jnp.int32)
+    params = te.init(jax.random.key(0), ids, jnp.ones_like(ids), None)
+    rng = np.random.default_rng(2)
+    pos = rng.normal(size=(40, 16)).astype(np.float32)
+    out = load_torch_bert_weights(
+        params, {"text.transformer.embeddings.position_embeddings.weight": pos})
+    got = np.asarray(out["params"]["position_embeddings"])
+    assert got.shape == (24, 16)
+    np.testing.assert_allclose(
+        got, np.asarray(resize_text_pos_embed(pos, 24)), atol=0)
