@@ -393,20 +393,12 @@ class CLIPDriftEngine:
                 and self.dnet_settings == self.nnet_settings
                 and self.dnet_settings.get("text_module", "scoremap") == "scoremap")
 
-    def _loss_terms(self, dparams, nparams, text_params, batch, t, x_t, std_noise):
-        mu, x0 = batch["input"], batch["target"]
-        ty = batch["type_idx"]
-        img_ctx = batch.get("A_emb") if self.use_image_context else None
-        text_fn = self._make_text_fn(text_params)
-        tb = t.reshape(-1)
-        drift = self.sde.drift_schedule[t].astype(x_t.dtype) * (mu - x0)
-        d_in, n_in, d_target, n_target_x0 = self._net_io(x_t, mu, x0, drift, t)
-        n_target = std_noise if n_target_x0 is None else n_target_x0
-
-        degra_ctx = None
-        if self.use_degra_context:
-            degra_ctx = self._prompt_embs_nocontext(text_params)[ty][:, None, :]
-
+    def _dual_forward(self, dparams, nparams, d_in, n_in, tb, ty, text_fn,
+                      img_ctx, degra_ctx):
+        """Both UNet forwards for one training-style step: the fused-vmap
+        path when architectures match (one traced graph, 2B conv batch) else
+        two sequential applies. Shared by the train step and the
+        distillation step (models/distill.py)."""
         if self._can_fuse_dual():
             # one vmapped forward over stacked param trees (identical
             # architecture): halves the traced/compiled graph and doubles the
@@ -434,6 +426,24 @@ class CLIPDriftEngine:
                 nparams, n_in[0], n_in[1], tb, ty, text_fn=text_fn,
                 image_context=img_ctx, degra_context=degra_ctx,
             )
+        return pred_drift, pred_noise, d_sms, n_sms
+
+    def _loss_terms(self, dparams, nparams, text_params, batch, t, x_t, std_noise):
+        mu, x0 = batch["input"], batch["target"]
+        ty = batch["type_idx"]
+        img_ctx = batch.get("A_emb") if self.use_image_context else None
+        text_fn = self._make_text_fn(text_params)
+        tb = t.reshape(-1)
+        drift = self.sde.drift_schedule[t].astype(x_t.dtype) * (mu - x0)
+        d_in, n_in, d_target, n_target_x0 = self._net_io(x_t, mu, x0, drift, t)
+        n_target = std_noise if n_target_x0 is None else n_target_x0
+
+        degra_ctx = None
+        if self.use_degra_context:
+            degra_ctx = self._prompt_embs_nocontext(text_params)[ty][:, None, :]
+
+        pred_drift, pred_noise, d_sms, n_sms = self._dual_forward(
+            dparams, nparams, d_in, n_in, tb, ty, text_fn, img_ctx, degra_ctx)
         # drift_loss 'l1'|'l2' and noise_loss 'uni' follow the reference's
         # knob semantics (active in its legacy variants, drift_noise_model.py
         # :495-507; the live inputRes path hard-codes l2, our defaults match)
