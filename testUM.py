@@ -47,6 +47,11 @@ def main():
     parser.add_argument("--eta", type=float, default=None,
                         help="override test.eta (ancestral noise scale; "
                              "0 = deterministic steps)")
+    parser.add_argument("--pth-dir", default=None,
+                        help="override test.pth_dir (e.g. a distilled "
+                             "bundle dir from tools/distill.py)")
+    parser.add_argument("--iter", default=None,
+                        help="override test.iter (e.g. 'distill25')")
     parser.add_argument("--spatial", type=int, default=0,
                         help="shard the image H dimension over this many "
                              "devices (parallel/spatial.py; XLA SPMD inserts "
@@ -93,6 +98,10 @@ def main():
         test_opt["sample_steps"] = args.sample_steps
     if args.eta is not None:
         test_opt["eta"] = args.eta
+    if args.pth_dir is not None:
+        test_opt["pth_dir"] = args.pth_dir
+    if args.iter is not None:
+        test_opt["iter"] = args.iter
     result_root = test_opt.get("result_dir") or osp.join(
         os.getcwd(), "results", opt.get("name") or "test")
 

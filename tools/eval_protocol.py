@@ -41,6 +41,10 @@ def main():
                     help="artifact tag, e.g. r05_fp32_T100")
     ap.add_argument("--sample-steps", type=int, default=None)
     ap.add_argument("--eta", type=float, default=None)
+    ap.add_argument("--pth-dir", default=None,
+                    help="override test.pth_dir (distilled bundles)")
+    ap.add_argument("--iter", dest="ckpt_iter", default=None,
+                    help="override test.iter")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--regen", action="store_true",
                     help="regenerate the dataset from the manifest's "
@@ -74,6 +78,10 @@ def main():
         argv += ["--sample-steps", str(args.sample_steps)]
     if args.eta is not None:
         argv += ["--eta", str(args.eta)]
+    if args.pth_dir:
+        argv += ["--pth-dir", args.pth_dir]
+    if args.ckpt_iter:
+        argv += ["--iter", args.ckpt_iter]
     if args.platform:
         argv += ["--platform", args.platform]
     import testUM
@@ -102,6 +110,8 @@ def main():
         "manifest_sha256": digest,
         "sample_steps": args.sample_steps,
         "eta": args.eta,
+        "pth_dir": args.pth_dir,
+        "iter": args.ckpt_iter,
         "table": table,
     }
     out_path = os.path.join(REPO, "artifacts", f"eval_{args.tag}.json")
