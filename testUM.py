@@ -52,6 +52,8 @@ def main():
                              "bundle dir from tools/distill.py)")
     parser.add_argument("--iter", default=None,
                         help="override test.iter (e.g. 'distill25')")
+    parser.add_argument("--use-ema", type=int, default=None, choices=(0, 1),
+                        help="override test.use_ema (1 = EMA shadows)")
     parser.add_argument("--spatial", type=int, default=0,
                         help="shard the image H dimension over this many "
                              "devices (parallel/spatial.py; XLA SPMD inserts "
@@ -102,6 +104,8 @@ def main():
         test_opt["pth_dir"] = args.pth_dir
     if args.iter is not None:
         test_opt["iter"] = args.iter
+    if args.use_ema is not None:
+        test_opt["use_ema"] = bool(args.use_ema)
     result_root = test_opt.get("result_dir") or osp.join(
         os.getcwd(), "results", opt.get("name") or "test")
 

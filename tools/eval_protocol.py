@@ -45,6 +45,8 @@ def main():
                     help="override test.pth_dir (distilled bundles)")
     ap.add_argument("--iter", dest="ckpt_iter", default=None,
                     help="override test.iter")
+    ap.add_argument("--use-ema", dest="use_ema", type=int, default=None,
+                    choices=(0, 1), help="override test.use_ema")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--regen", action="store_true",
                     help="regenerate the dataset from the manifest's "
@@ -82,6 +84,8 @@ def main():
         argv += ["--pth-dir", args.pth_dir]
     if args.ckpt_iter:
         argv += ["--iter", args.ckpt_iter]
+    if args.use_ema is not None:
+        argv += ["--use-ema", str(args.use_ema)]
     if args.platform:
         argv += ["--platform", args.platform]
     import testUM
