@@ -82,7 +82,8 @@ def distill_grid(T: int, student_steps: int):
 
 
 def build_distill_step(eng: CLIPDriftEngine, student_steps: int,
-                       axis_name: Optional[str] = None):
+                       axis_name: Optional[str] = None,
+                       teacher_eta: float = 0.0):
     """Jittable distill step:
     ``step(state, batch, key, teacher, text_params, lr_d, lr_n)
       -> (state, metrics)``
@@ -90,6 +91,25 @@ def build_distill_step(eng: CLIPDriftEngine, student_steps: int,
 
     Mirrors ``build_train_step`` (same optimizers, EMA, metric keys) with the
     forward-diffusion targets replaced by the two-step teacher composition.
+
+    ``teacher_eta`` selects which teacher CHAIN is being distilled. 0 (the
+    default) composes two deterministic steps exactly (module docstring).
+    eta>0 rolls the teacher's first sub-step stochastically (fresh draw z1,
+    DDPM posterior split from ``sde.posterior_coeffs``) and regresses the
+    student's deterministic step onto the z1-conditioned mean of the
+    two-step endpoint (the z2 fresh noise of the second sub-step is
+    zero-mean and drops out of the target):
+
+        (sig_t - sig_l) * eps*  =  (sig_t - carry1)*e_1
+                                  + (sig_m - carry2)*e_2  -  c1*z1.
+
+    Averaged over z1 draws by the regression, the student learns the
+    CONDITIONAL MEAN of the stochastic teacher chain — the L2/PSNR-optimal
+    readout of the DDPM sampler. This is the flagship-scale fix for the
+    measured ~4.5 dB deterministic-chain gap (PERF.md round 5): at eta=0 the
+    composed targets faithfully reproduce a trajectory whose carried
+    eps-prediction errors never get re-randomised, so the student inherits
+    the eta=0 ceiling; distilling the eta=1 chain's mean does not.
     """
     if eng.optimize_type not in ("inputRes", "predict_noise", ""):
         raise ValueError(
@@ -113,7 +133,7 @@ def build_distill_step(eng: CLIPDriftEngine, student_steps: int,
             degra_ctx = eng._prompt_embs_nocontext(text_params)[ty][:, None, :]
         B = x0.shape[0]
         bshape = (B,) + (1,) * (x0.ndim - 1)
-        k_i, k_e = jax.random.split(key)
+        k_i, k_e, k_z1 = jax.random.split(key, 3)
         i = jax.random.randint(k_i, (B,), 0, n_pairs)
         th, tm, tl = t_hi[i], t_mid[i], t_lo[i]
 
@@ -136,17 +156,23 @@ def build_distill_step(eng: CLIPDriftEngine, student_steps: int,
                 text_fn, img_ctx, degra_ctx)
             return pd, pn
 
-        # two deterministic teacher steps t -> mid (second prediction at mid)
+        # two teacher steps t -> mid at teacher_eta (z1 only matters when
+        # the first sub-step is stochastic; second prediction at mid)
         pd1, pn1 = teacher_predict(x_t, th)
-        x_mid = sde.reverse_step(None, x_t, th, pd1, pn1, eta=0.0,
-                                 t_prev=tm, z=jnp.zeros_like(x_t))
+        z1 = (jax.random.normal(k_z1, x_t.shape, dtype=x_t.dtype)
+              if teacher_eta else jnp.zeros_like(x_t))
+        x_mid = sde.reverse_step(None, x_t, th, pd1, pn1, eta=teacher_eta,
+                                 t_prev=tm, z=z1)
         pd2, pn2 = teacher_predict(x_mid, tm)
 
-        # increment-weighted composition = exact one-step equivalent
+        # increment-weighted composition = exact one-step equivalent of the
+        # z1-conditioned two-step mean (z2 is zero-mean and drops out)
+        carry1, c1 = sde.posterior_coeffs(sg(th), sg(tm), teacher_eta)
+        carry2, _ = sde.posterior_coeffs(sg(tm), sg(tl), teacher_eta)
         dsd1, dsd2 = sd(th) - sd(tm), sd(tm) - sd(tl)
-        dsg1, dsg2 = sg(th) - sg(tm), sg(tm) - sg(tl)
         d_tgt = (dsd1 * pd1 + dsd2 * pd2) / jnp.maximum(dsd1 + dsd2, 1e-8)
-        n_tgt = (dsg1 * pn1 + dsg2 * pn2) / jnp.maximum(dsg1 + dsg2, 1e-8)
+        n_tgt = ((sg(th) - carry1) * pn1 + (sg(tm) - carry2) * pn2
+                 - c1 * z1) / jnp.maximum(sg(th) - sg(tl), 1e-8)
         d_tgt = jax.lax.stop_gradient(d_tgt)
         n_tgt = jax.lax.stop_gradient(n_tgt)
 
@@ -207,6 +233,7 @@ def distill_phase(
     key,
     lr: float = 2e-5,
     ema_as_teacher: bool = True,
+    teacher_eta: float = 0.0,
     log_every: int = 100,
     log_fn=None,
 ):
@@ -215,7 +242,11 @@ def distill_phase(
     The phase teacher is a frozen snapshot of the engine's current (EMA by
     default) weights; the student continues from the engine's live state —
     so calling this repeatedly with N, N//2, N//4 ... is progressive
-    distillation. Fresh Adam moments and EMA-from-teacher each phase.
+    distillation. ``teacher_eta`` (build_distill_step) picks the teacher
+    chain: use it on the FIRST phase to convert the stochastic eta=1
+    sampler into a deterministic mean-student, 0 on later phases (their
+    teacher is already deterministic). Fresh Adam moments and
+    EMA-from-teacher each phase.
     ``batches`` is an (endless) iterator of train-batch dicts. LR is
     cosine-annealed over the phase. Returns the final mean loss."""
     teacher = {
@@ -234,7 +265,8 @@ def distill_phase(
     eng.state["n_opt"] = eng.noise_opt.init(eng.state["noise"])
     eng.state["step"] = jnp.zeros((), jnp.int32)
 
-    step_fn = jax.jit(build_distill_step(eng, student_steps),
+    step_fn = jax.jit(build_distill_step(eng, student_steps,
+                                         teacher_eta=teacher_eta),
                       donate_argnums=(0,))
     eng.reinit_loss_message()
     last = None

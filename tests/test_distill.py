@@ -64,6 +64,47 @@ def test_two_teacher_steps_compose_exactly_into_one():
                                atol=2e-6, rtol=2e-6)
 
 
+@pytest.mark.parametrize("teacher_eta", [1.0, 0.7])
+def test_stochastic_teacher_composes_into_conditional_mean(teacher_eta):
+    """General-eta composition (build_distill_step teacher_eta): the
+    student's DETERMINISTIC one-step with the increment-weighted targets
+    (including the -c1*z1 correction) equals the z1-conditioned mean of the
+    teacher's two stochastic steps (= the rollout with the second step's
+    fresh draw z2 zeroed, since z2 enters additively)."""
+    sde = DriftSDE(T=100, max_sigma=0.4)
+    B = 3
+    key = jax.random.key(5)
+    x_t = jax.random.normal(key, (B, 8, 8, 1))
+    pd1, pn1, pd2, pn2, z1 = [
+        jax.random.normal(jax.random.key(20 + i), x_t.shape)
+        for i in range(5)]
+    th = jnp.array([100, 62, 8])
+    tm = jnp.array([98, 60, 4])
+    tl = jnp.array([96, 58, 0])
+    zeros = jnp.zeros_like(x_t)
+
+    # teacher: stochastic first step (draw z1), second step at its mean
+    x_mid = sde.reverse_step(None, x_t, th, pd1, pn1, eta=teacher_eta,
+                             t_prev=tm, z=z1)
+    x_lo_mean = sde.reverse_step(None, x_mid, tm, pd2, pn2, eta=teacher_eta,
+                                 t_prev=tl, z=zeros)
+
+    bshape = (B, 1, 1, 1)
+    sd = lambda t: sde.drift_schedule[t].reshape(bshape)  # noqa: E731
+    sg = lambda t: sde.sigmas[t].reshape(bshape)  # noqa: E731
+    carry1, c1 = sde.posterior_coeffs(sg(th), sg(tm), teacher_eta)
+    carry2, _ = sde.posterior_coeffs(sg(tm), sg(tl), teacher_eta)
+    dsd1, dsd2 = sd(th) - sd(tm), sd(tm) - sd(tl)
+    d_tgt = (dsd1 * pd1 + dsd2 * pd2) / jnp.maximum(dsd1 + dsd2, 1e-8)
+    n_tgt = ((sg(th) - carry1) * pn1 + (sg(tm) - carry2) * pn2
+             - c1 * z1) / jnp.maximum(sg(th) - sg(tl), 1e-8)
+
+    x_lo_1step = sde.reverse_step(None, x_t, th, d_tgt, n_tgt, eta=0.0,
+                                  t_prev=tl, z=zeros)
+    np.testing.assert_allclose(np.asarray(x_lo_1step), np.asarray(x_lo_mean),
+                               atol=2e-6, rtol=2e-6)
+
+
 def test_distill_step_runs_and_self_distill_loss_is_small(tiny_trained_setup):
     """One jitted distill step from the trained engine's own weights as
     teacher: metrics finite, and the self-distillation loss is small (only

@@ -61,6 +61,14 @@ def main():
     ap.add_argument("--raw-teacher", action="store_true",
                     help="use the raw (non-EMA) weights as the first "
                          "teacher")
+    ap.add_argument("--teacher-eta", type=float, default=0.0,
+                    help="eta of the teacher chain distilled in PHASE 1 "
+                         "(models/distill.py): 1.0 regresses the student's "
+                         "deterministic step onto the stochastic DDPM "
+                         "chain's conditional mean — the flagship-scale "
+                         "fix for the ~4.5 dB eta=0 trajectory gap. Later "
+                         "phases always distill deterministically (their "
+                         "teacher already is)")
     args = ap.parse_args()
 
     if not args.platform:
@@ -128,9 +136,10 @@ def main():
     key = jax.random.key(args.seed + 31337)
     for pi, n_student in enumerate(args.phases):
         t0 = time.time()
+        phase_eta = args.teacher_eta if pi == 0 else 0.0
         print(f"[distill] phase {pi + 1}/{len(args.phases)}: teacher "
               f"{'EMA ' if (pi == 0 and not args.raw_teacher) else ''}grid "
-              f"2x{n_student} -> student T={n_student}, "
+              f"2x{n_student} (eta={phase_eta}) -> student T={n_student}, "
               f"{args.steps_per_phase} steps, lr {args.lr}", file=sys.stderr)
 
         def log_fn(s, m, _n=n_student):
@@ -142,6 +151,7 @@ def main():
             eng, n_student, batches(), args.steps_per_phase,
             jax.random.fold_in(key, pi), lr=args.lr,
             ema_as_teacher=(pi == 0 and not args.raw_teacher),
+            teacher_eta=phase_eta,
             log_every=max(1, args.steps_per_phase // 10), log_fn=log_fn)
         tag = f"distill{n_student}"
         eng.save(out_dir, tag)
