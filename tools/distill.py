@@ -69,6 +69,11 @@ def main():
                          "fix for the ~4.5 dB eta=0 trajectory gap. Later "
                          "phases always distill deterministically (their "
                          "teacher already is)")
+    ap.add_argument("--z1-correction", action="store_true",
+                    help="include the exact -c1*z1 composition term in the "
+                         "stochastic-teacher noise target (unbiased either "
+                         "way; the correction adds ~6x gradient noise at "
+                         "mid-schedule, models/distill.py docstring)")
     args = ap.parse_args()
 
     if not args.platform:
@@ -151,7 +156,7 @@ def main():
             eng, n_student, batches(), args.steps_per_phase,
             jax.random.fold_in(key, pi), lr=args.lr,
             ema_as_teacher=(pi == 0 and not args.raw_teacher),
-            teacher_eta=phase_eta,
+            teacher_eta=phase_eta, z1_correction=args.z1_correction,
             log_every=max(1, args.steps_per_phase // 10), log_fn=log_fn)
         tag = f"distill{n_student}"
         eng.save(out_dir, tag)
