@@ -174,3 +174,53 @@ def test_distilled_half_steps_match_teacher_quality(tiny_trained_setup):
         f"distillation gate regressed: teacher T=16 {p_teacher:.2f} dB vs "
         f"distilled T=8 {p_distilled:.2f} dB (at creation the distilled "
         f"student was BETTER by 0.8 dB)")
+
+
+@pytest.mark.slow
+def test_stochastic_teacher_distill_gate(tiny_trained_setup):
+    """Stochastic-teacher (teacher_eta=1) halving phase: the student's
+    deterministic T=8 sampler must stay within 1.0 dB of the teacher's
+    full-grid eta=1 result and clear the learning gate. This is the code
+    path behind the flagship headline — at flagship scale the mean-student
+    BEAT the T=100 eta=1 teacher by +1.26 dB mean PSNR (PERF.md round 5);
+    tiny scale only regression-guards the path end-to-end (the eta=0
+    trajectory gap it fixes does not manifest at T=16/0.4sigma)."""
+    eng, X0, MU, EMB, TY, batch4 = tiny_trained_setup
+    X0n, MUn = np.asarray(X0[:4]), np.asarray(MU[:4])
+
+    def mean_psnr(imgs, refs):
+        return float(np.mean([
+            eval_restoration(imgs[j, ..., 0], refs[j, ..., 0])["PSNR"]
+            for j in range(imgs.shape[0])]))
+
+    p_teacher = mean_psnr(
+        np.asarray(eng.test(batch4, jax.random.key(7), use_ema=False)), X0n)
+
+    saved_state = jax.tree.map(jnp.copy, eng.state)
+    saved_cache = (eng._sample_fn, eng._sample_steps, eng._train_step)
+    try:
+        def batches():
+            i = 0
+            while True:
+                idx = np.random.default_rng(70_000 + i).choice(16, 8,
+                                                               replace=False)
+                yield {"input": MU[idx], "target": X0[idx],
+                       "type_idx": TY[idx], "A_emb": EMB[idx]}
+                i += 1
+
+        distill_phase(eng, 8, batches(), 150, jax.random.key(78), lr=1e-3,
+                      ema_as_teacher=False, teacher_eta=1.0, log_every=0)
+        p_distilled = mean_psnr(
+            np.asarray(eng.test(batch4, jax.random.key(7), use_ema=False,
+                                sample_steps=8, eta=0.0)), X0n)
+    finally:
+        eng.state = saved_state
+        eng._sample_fn, eng._sample_steps, eng._train_step = saved_cache
+
+    degraded = mean_psnr(MUn, X0n)
+    assert p_distilled >= degraded + 6.0, (
+        f"stochastic-teacher student lost the restoration: "
+        f"{p_distilled:.2f} dB vs degraded {degraded:.2f} dB")
+    assert p_teacher - p_distilled <= 1.0, (
+        f"stochastic-teacher gate regressed: teacher T=16 eta=1 "
+        f"{p_teacher:.2f} dB vs mean-student T=8 eta=0 {p_distilled:.2f} dB")
